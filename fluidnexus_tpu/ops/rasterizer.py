@@ -1,0 +1,364 @@
+"""Differentiable tile-based 3D Gaussian rasterizer — TPU-native design.
+
+Replaces the reference CUDA extensions ``gaussian_rasterization_ch3`` /
+``gaussian_rasterization_ch1`` (FluidDynamics/submodules/*, forward.cu /
+backward.cu / rasterizer_impl.cu). Behavioral parity targets are cited
+per-step below; the *implementation* is a from-scratch XLA program:
+
+  CUDA reference                         This module (XLA/TPU)
+  -------------------------------------  ----------------------------------
+  per-thread preprocess + frustum cull   vectorized ``project_gaussians``
+  dynamic duplication w/ cub radix sort  static D-slot duplication + lexsort
+    over 64-bit (tile|depth) keys          ``lax.sort`` on (tile, depth) keys
+  identifyTileRanges                     vectorized ``searchsorted``
+  per-tile shared-mem front-to-back      per-tile top-K gather + chunked
+    blending w/ warp early-out             ``lax.scan`` cumprod compositing
+  atomicAdd gradient backward            plain JAX autodiff through gather
+                                           (reverse of gather = segment-sum,
+                                            which XLA lowers to sorted scatter)
+
+Everything is static-shape and jit-compatible: particle/Gaussian count N,
+duplicate capacity D = dup_x*dup_y tiles per Gaussian, and per-tile capacity K
+are compile-time constants. Gaussians covering more than dup_x x dup_y tiles
+get their tile rect clamped around the projected center (quality knob; raise
+``dup_x/dup_y`` for scenes with huge Gaussians). Channel count is inferred
+from ``colors`` — ch1 vs ch3 of the reference is just C here (config.h:15).
+
+Semantics matched to forward.cu:149-373:
+  - EWA 2D covariance with the 1.3*tan_fov frustum clamp and +0.3 low-pass
+  - radius = ceil(3*sqrt(max eigenvalue)), eigenvalue floor 0.1
+  - alpha = min(0.99, opacity * exp(power)), skipped when power > 0 or
+    alpha < 1/255
+  - early stop when transmittance < 1e-4 (here: contributions are masked once
+    T < 1e-4 instead of freezing T — difference bounded by 1e-4)
+  - median depth: starts at 15.0, set where T crosses 0.5 (forward.cu:295,351)
+  - out = accumulated_color + T * bg
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterizerConfig:
+    tile_x: int = 16
+    tile_y: int = 16
+    dup_x: int = 4            # max tiles a Gaussian may span horizontally
+    dup_y: int = 4            # ... vertically (D = dup_x * dup_y dup slots)
+    tile_capacity: int = 256  # max Gaussians composited per tile (front-most K)
+    chunk: int = 32           # Gaussians per compositing scan step
+    near: float = 0.2         # frustum near-cull plane (auxiliary.h in_frustum)
+
+
+class Projected(NamedTuple):
+    xy: jnp.ndarray        # (N,2) pixel-space means
+    conic: jnp.ndarray     # (N,3) inverse 2D covariance (a,b,c)
+    depth: jnp.ndarray     # (N,) view-space z
+    radius: jnp.ndarray    # (N,) screen-space radius in pixels (0 = culled)
+    valid: jnp.ndarray     # (N,) bool
+
+
+class RasterOutput(NamedTuple):
+    color: jnp.ndarray     # (C,H,W)
+    depth: jnp.ndarray     # (H,W) median depth
+    final_t: jnp.ndarray   # (H,W) final transmittance
+    radii: jnp.ndarray     # (N,) int32 screen radii (densification stats)
+
+
+def _transform_rows(p, m):
+    """Row-vector transform: (p,1) @ m for (N,3) points and (4,4) matrix."""
+    return p @ m[:3] + m[3]
+
+
+def project_gaussians(
+    means3d,
+    scales,
+    rotations,
+    view_matrix,
+    proj_matrix,
+    tan_fovx,
+    tan_fovy,
+    width,
+    height,
+    scale_modifier=1.0,
+    cov3d=None,
+    near=0.2,
+    alive=None,
+    xy_offset=None,
+):
+    """Vectorized preprocess: world -> screen. Mirrors preprocessCUDA
+    (forward.cu:149-248) semantics; see module docstring for the math."""
+    from fluidnexus_tpu.utils.maths import covariance_from_scaling_rotation
+
+    f32 = jnp.float32
+    means3d = means3d.astype(f32)
+    p_view = _transform_rows(means3d, view_matrix.astype(f32))
+    in_front = p_view[:, 2] > near
+
+    p_hom = jnp.concatenate([means3d, jnp.ones_like(means3d[:, :1])], -1) @ proj_matrix.astype(f32)
+    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
+    p_proj = p_hom[:, :3] * p_w[:, None]
+
+    if cov3d is None:
+        cov3d = covariance_from_scaling_rotation(scale_modifier * scales, 1.0, rotations)  # (N,3,3)
+
+    # EWA: cov2d = J R Sigma R^T J^T with the perspective Jacobian at the
+    # frustum-clamped view point (computeCov2D, forward.cu:71-112).
+    focal_x = width / (2.0 * tan_fovx)
+    focal_y = height / (2.0 * tan_fovy)
+    tz = p_view[:, 2]
+    # avoid 0-division for behind-camera points (they are culled anyway)
+    tz_safe = jnp.where(jnp.abs(tz) < 1e-6, 1e-6, tz)
+    limx, limy = 1.3 * tan_fovx, 1.3 * tan_fovy
+    tx = jnp.clip(p_view[:, 0] / tz_safe, -limx, limx) * tz
+    ty = jnp.clip(p_view[:, 1] / tz_safe, -limy, limy) * tz
+
+    # R_wc: world->cam rotation. view_matrix is stored transposed (row conv),
+    # so rows of view_matrix[:3,:3] act on points from the right; the math
+    # rotation is its transpose... which is view_matrix[:3,:3] itself read
+    # column-wise. J @ R_wc as explicit (N,2,3):
+    r_wc = view_matrix[:3, :3].astype(f32).T  # (3,3) math world->cam rotation
+    z2 = tz_safe * tz_safe
+    j00 = focal_x / tz_safe
+    j02 = -(focal_x * tx) / z2
+    j11 = focal_y / tz_safe
+    j12 = -(focal_y * ty) / z2
+    zeros = jnp.zeros_like(j00)
+    J = jnp.stack(
+        [jnp.stack([j00, zeros, j02], -1), jnp.stack([zeros, j11, j12], -1)], -2
+    )  # (N,2,3)
+    # full f32 precision: these tiny batched matmuls otherwise hit the MXU in
+    # bf16 on TPU, which visibly distorts conics
+    hi = jax.lax.Precision.HIGHEST
+    JW = jnp.matmul(J, r_wc, precision=hi)  # (N,2,3)
+    cov2d = jnp.matmul(
+        jnp.matmul(JW, cov3d.astype(f32), precision=hi), jnp.swapaxes(JW, -1, -2), precision=hi
+    )  # (N,2,2)
+    cxx = cov2d[:, 0, 0] + 0.3
+    cyy = cov2d[:, 1, 1] + 0.3
+    cxy = cov2d[:, 0, 1]
+
+    det = cxx * cyy - cxy * cxy
+    det_safe = jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+    det_inv = 1.0 / det_safe
+    conic = jnp.stack([cyy * det_inv, -cxy * det_inv, cxx * det_inv], -1)
+
+    mid = 0.5 * (cxx + cyy)
+    lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam1, 0.0)))
+
+    px = ((p_proj[:, 0] + 1.0) * width - 1.0) * 0.5
+    py = ((p_proj[:, 1] + 1.0) * height - 1.0) * 0.5
+    xy = jnp.stack([px, py], -1)
+    if xy_offset is not None:
+        # zero-valued hook: grad w.r.t. xy_offset is the screen-space mean
+        # gradient the reference exposes via its dummy means2D tensor
+        # (pipe_dynamics.py:60-66) and uses for densification stats
+        # (gm_background.py:472-476)
+        xy = xy + xy_offset
+
+    valid = in_front & (jnp.abs(det) > 0.0) & (radius > 0.0)
+    if alive is not None:
+        valid = valid & alive
+    radius = jnp.where(valid, radius, 0.0)
+    return Projected(xy=xy, conic=conic, depth=p_view[:, 2], radius=radius, valid=valid)
+
+
+def _tile_rects(proj: Projected, cfg: RasterizerConfig, tiles_x, tiles_y):
+    """Tile bounding rects per Gaussian, clamped to dup_x x dup_y around the
+    center tile (getRect, auxiliary.h:43-50 + static-capacity clamp)."""
+    px, py, r = proj.xy[:, 0], proj.xy[:, 1], proj.radius
+    xmin = jnp.clip(jnp.floor((px - r) / cfg.tile_x), 0, tiles_x).astype(jnp.int32)
+    xmax = jnp.clip(jnp.floor((px + r + cfg.tile_x - 1) / cfg.tile_x), 0, tiles_x).astype(jnp.int32)
+    ymin = jnp.clip(jnp.floor((py - r) / cfg.tile_y), 0, tiles_y).astype(jnp.int32)
+    ymax = jnp.clip(jnp.floor((py + r + cfg.tile_y - 1) / cfg.tile_y), 0, tiles_y).astype(jnp.int32)
+    # clamp rect extents to the duplicate capacity, keeping the center tile
+    cx = jnp.clip((px / cfg.tile_x).astype(jnp.int32), 0, tiles_x - 1)
+    cy = jnp.clip((py / cfg.tile_y).astype(jnp.int32), 0, tiles_y - 1)
+    w = xmax - xmin
+    h = ymax - ymin
+    xmin = jnp.where(w > cfg.dup_x, jnp.clip(cx - cfg.dup_x // 2, xmin, xmax - cfg.dup_x), xmin)
+    ymin = jnp.where(h > cfg.dup_y, jnp.clip(cy - cfg.dup_y // 2, ymin, ymax - cfg.dup_y), ymin)
+    w = jnp.minimum(w, cfg.dup_x)
+    h = jnp.minimum(h, cfg.dup_y)
+    return xmin, ymin, w, h
+
+
+def _build_tile_lists(proj: Projected, cfg: RasterizerConfig, tiles_x: int, tiles_y: int):
+    """Duplicate Gaussians into tile slots, lexsort by (tile, depth), and cut
+    per-tile top-K lists. Static-shape analog of duplicateWithKeys + radix
+    sort + identifyTileRanges (rasterizer_impl.cu:67-133)."""
+    n = proj.xy.shape[0]
+    d = cfg.dup_x * cfg.dup_y
+    num_tiles = tiles_x * tiles_y
+
+    xmin, ymin, w, h = _tile_rects(proj, cfg, tiles_x, tiles_y)
+    slot = jnp.arange(d, dtype=jnp.int32)
+    dx = slot % cfg.dup_x
+    dy = slot // cfg.dup_x
+    # (N,D) tile ids; sentinel num_tiles for unused slots
+    in_rect = (dx[None, :] < w[:, None]) & (dy[None, :] < h[:, None]) & proj.valid[:, None]
+    tile = (ymin[:, None] + dy[None, :]) * tiles_x + (xmin[:, None] + dx[None, :])
+    tile = jnp.where(in_rect, tile, num_tiles).astype(jnp.int32)
+
+    gidx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, d))
+    depth = jnp.broadcast_to(proj.depth[:, None], (n, d)).astype(jnp.float32)
+
+    sorted_tile, _, sorted_gidx = jax.lax.sort(
+        (tile.reshape(-1), depth.reshape(-1), gidx.reshape(-1)), num_keys=2
+    )
+
+    tids = jnp.arange(num_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_tile, tids, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_tile, tids, side="right").astype(jnp.int32)
+
+    k = cfg.tile_capacity
+    pos = starts[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
+    live = pos < ends[:, None]
+    pos = jnp.clip(pos, 0, n * d - 1)
+    tile_gauss = sorted_gidx[pos]          # (num_tiles, K)
+    return tile_gauss, live
+
+
+def _composite_tiles(tile_gauss, live, proj: Projected, colors, opacities, cfg, tiles_x, tiles_y):
+    """Front-to-back alpha compositing of per-tile Gaussian lists.
+
+    Chunked lax.scan over the K axis with a remat'd body: the backward pass
+    recomputes per-chunk alphas instead of storing (tiles, K, pixels) residuals
+    — the TPU substitute for the reference's shared-memory streaming loop
+    (renderCUDA, forward.cu:250-373) and its hand-written backward.
+    """
+    f32 = jnp.float32
+    num_tiles, k = tile_gauss.shape
+    c = colors.shape[-1]
+    p = cfg.tile_x * cfg.tile_y
+
+    tx = jnp.arange(num_tiles, dtype=jnp.int32) % tiles_x
+    ty = jnp.arange(num_tiles, dtype=jnp.int32) // tiles_x
+    px = tx[:, None] * cfg.tile_x + jnp.tile(jnp.arange(cfg.tile_x, dtype=jnp.int32), cfg.tile_y)[None, :]
+    py = ty[:, None] * cfg.tile_y + jnp.repeat(jnp.arange(cfg.tile_y, dtype=jnp.int32), cfg.tile_x)[None, :]
+    pixf = jnp.stack([px, py], -1).astype(f32)  # (T,P,2)
+
+    ck = cfg.chunk
+    n_chunks = k // ck
+    assert k % ck == 0, "tile_capacity must be a multiple of chunk"
+    gidx_chunks = tile_gauss.reshape(num_tiles, n_chunks, ck).transpose(1, 0, 2)
+    live_chunks = live.reshape(num_tiles, n_chunks, ck).transpose(1, 0, 2)
+
+    def chunk_body(carry, chunk):
+        t_run, accum, med, med_set = carry
+        gids, lv = chunk  # (T,CK)
+        xy = proj.xy[gids]                     # (T,CK,2)
+        con = proj.conic[gids]                 # (T,CK,3)
+        op = opacities[gids]                   # (T,CK)
+        col = colors[gids]                     # (T,CK,C)
+        dep = proj.depth[gids]                 # (T,CK)
+
+        dxy = xy[:, :, None, :] - pixf[:, None, :, :]       # (T,CK,P,2)
+        dx, dy = dxy[..., 0], dxy[..., 1]
+        power = -0.5 * (con[..., 0:1] * dx * dx + con[..., 2:3] * dy * dy) - con[..., 1:2] * dx * dy
+        alpha = jnp.minimum(0.99, op[..., None] * jnp.exp(power))
+        skip = (power > 0.0) | (alpha < (1.0 / 255.0)) | ~lv[..., None]
+        a_eff = jnp.where(skip, 0.0, alpha)                 # (T,CK,P)
+
+        one_minus = 1.0 - a_eff
+        t_incl = jnp.cumprod(one_minus, axis=1)             # (T,CK,P)
+        t_before = t_run[:, None, :] * jnp.concatenate(
+            [jnp.ones_like(t_incl[:, :1]), t_incl[:, :-1]], axis=1
+        )
+        t_after = t_before * one_minus
+        alive_px = t_before >= 1e-4                          # early-stop mask
+        wgt = a_eff * t_before * alive_px                    # (T,CK,P)
+
+        accum = accum + jnp.einsum("tkp,tkc->tpc", wgt, col, precision=jax.lax.Precision.HIGHEST)
+
+        cross = (t_before > 0.5) & (t_after < 0.5) & ~skip & alive_px
+        # transmittance is monotone: at most one crossing over all chunks
+        med_new = jnp.einsum("tkp,tk->tp", cross.astype(f32), dep, precision=jax.lax.Precision.HIGHEST)
+        med = jnp.where(med_set | ~jnp.any(cross, axis=1), med, med_new)
+        med_set = med_set | jnp.any(cross, axis=1)
+
+        t_run = t_run * t_incl[:, -1, :]
+        return (t_run, accum, med, med_set), None
+
+    init = (
+        jnp.ones((num_tiles, p), f32),
+        jnp.zeros((num_tiles, p, c), f32),
+        jnp.full((num_tiles, p), 15.0, f32),   # median-depth default (forward.cu:295)
+        jnp.zeros((num_tiles, p), bool),
+    )
+    (t_run, accum, med, _), _ = jax.lax.scan(
+        jax.checkpoint(chunk_body), init, (gidx_chunks, live_chunks)
+    )
+    return t_run, accum, med
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tan_fovx", "tan_fovy", "width", "height", "config", "scale_modifier"),
+)
+def rasterize(
+    means3d,
+    colors,
+    opacities,
+    scales=None,
+    rotations=None,
+    cov3d=None,
+    alive=None,
+    xy_offset=None,
+    *,
+    view_matrix,
+    proj_matrix,
+    campos=None,  # kept for API parity with the reference binding; unused (SH is external)
+    tan_fovx: float,
+    tan_fovy: float,
+    width: int,
+    height: int,
+    bg_color,
+    scale_modifier: float = 1.0,
+    config: RasterizerConfig = RasterizerConfig(),
+):
+    """Render Gaussians to an image. Returns RasterOutput(color (C,H,W), depth,
+    final_t, radii). Fully differentiable w.r.t. means3d / colors / opacities /
+    scales / rotations (the tile ordering is treated as non-differentiable,
+    exactly like the reference backward).
+
+    ``opacities`` is the activated opacity in [0,1], shape (N,) or (N,1).
+    ``alive`` optionally masks out padding rows of static-capacity buffers.
+    """
+    cfg = config
+    opacities = opacities.reshape(-1)
+    tiles_x = -(-width // cfg.tile_x)
+    tiles_y = -(-height // cfg.tile_y)
+
+    proj = project_gaussians(
+        means3d, scales, rotations, view_matrix, proj_matrix,
+        tan_fovx, tan_fovy, width, height, scale_modifier, cov3d, cfg.near, alive,
+        xy_offset,
+    )
+    tile_gauss, live = _build_tile_lists(
+        jax.tree.map(jax.lax.stop_gradient, proj), cfg, tiles_x, tiles_y
+    )
+    t_run, accum, med = _composite_tiles(tile_gauss, live, proj, colors, opacities, cfg, tiles_x, tiles_y)
+
+    c = colors.shape[-1]
+    h_pad, w_pad = tiles_y * cfg.tile_y, tiles_x * cfg.tile_x
+
+    def untile(img_tp):  # (T,P,...) -> (H,W,...)
+        img = img_tp.reshape(tiles_y, tiles_x, cfg.tile_y, cfg.tile_x, -1)
+        img = img.transpose(0, 2, 1, 3, 4).reshape(h_pad, w_pad, -1)
+        return img[:height, :width]
+
+    bg = jnp.asarray(bg_color, jnp.float32).reshape(-1)
+    out = untile(accum) + untile(t_run[..., None]) * bg  # (H,W,C)
+    return RasterOutput(
+        color=out.transpose(2, 0, 1),
+        depth=untile(med[..., None])[..., 0],
+        final_t=untile(t_run[..., None])[..., 0],
+        radii=proj.radius.astype(jnp.int32),
+    )

@@ -1,0 +1,102 @@
+"""Training losses and image metrics.
+
+Behavioral parity with FluidDynamics/utils/loss_utils.py (l1/l2/relative,
+11x11 sigma-1.5 Gaussian-window SSIM, particle min-separation penalty,
+Hungarian-matching L1, temporal consistency) and utils/image_utils.py (psnr).
+JAX re-implementations; SSIM uses depthwise conv with SAME zero padding like
+the reference's F.conv2d(padding=ws//2).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def l1_loss(pred, gt):
+    return jnp.abs(pred - gt).mean()
+
+
+def l2_loss(pred, gt):
+    return ((pred - gt) ** 2).mean()
+
+
+def relative_loss(pred, gt):
+    return jnp.abs((pred - gt) / (gt + 0.001)).mean()
+
+
+def _gaussian_window(window_size: int, sigma: float):
+    xs = np.arange(window_size)
+    g = np.exp(-((xs - window_size // 2) ** 2) / (2 * sigma**2))
+    g = g / g.sum()
+    return jnp.asarray(np.outer(g, g), jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("window_size",))
+def ssim(img1, img2, window_size: int = 11):
+    """SSIM over (C,H,W) images (loss_utils.py:33-69). Returns scalar mean."""
+    if img1.ndim == 3:
+        img1, img2 = img1[None], img2[None]
+    c = img1.shape[1]
+    win = _gaussian_window(window_size, 1.5)
+    kernel = jnp.broadcast_to(win[None, None], (c, 1, window_size, window_size))
+
+    conv = functools.partial(
+        jax.lax.conv_general_dilated,
+        rhs=kernel,
+        window_strides=(1, 1),
+        padding=[(window_size // 2, window_size // 2)] * 2,
+        feature_group_count=c,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    mu1, mu2 = conv(img1), conv(img2)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = conv(img1 * img1) - mu1_sq
+    sigma2_sq = conv(img2 * img2) - mu2_sq
+    sigma12 = conv(img1 * img2) - mu1_mu2
+    c1, c2 = 0.01**2, 0.03**2
+    ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
+    )
+    return ssim_map.mean()
+
+
+def psnr(img1, img2):
+    """PSNR per image over flattened pixels (image_utils.py:8-10)."""
+    mse = jnp.mean((img1 - img2) ** 2)
+    return 20.0 * jnp.log10(1.0 / jnp.sqrt(jnp.maximum(mse, 1e-12)))
+
+
+def distance_loss(positions, threshold, alive=None):
+    """Min-separation penalty: sum of (threshold - d)^2 over pairs closer than
+    threshold, excluding self pairs (loss_utils.py:98-121).
+
+    alive masks padded rows of static-capacity buffers (dead rows contribute 0).
+    """
+    d = jnp.sqrt(jnp.maximum(jnp.sum((positions[:, None] - positions[None, :]) ** 2, -1), 1e-20))
+    n = positions.shape[0]
+    mask = (d < threshold) & ~jnp.eye(n, dtype=bool)
+    if alive is not None:
+        mask = mask & alive[:, None] & alive[None, :]
+    return jnp.sum((jnp.maximum(threshold - d, 0.0) * mask) ** 2)
+
+
+def l1_loss_optimal_matching(predictions, ground_truth):
+    """Hungarian-matched L1 (loss_utils.py:124-137). Host-side assignment via
+    scipy (non-jittable, matching the reference's .cpu() round-trip)."""
+    from scipy.optimize import linear_sum_assignment
+
+    cost = jnp.sum(jnp.abs(predictions[:, None] - ground_truth[None, :]), -1)
+    rows, cols = linear_sum_assignment(np.asarray(jax.lax.stop_gradient(cost)))
+    return cost[rows, cols].sum()
+
+
+def l2_loss_consistency(predictions, prev_predictions):
+    """MSE of the first prev-N particles against their previous values
+    (loss_utils.py:140-147)."""
+    if prev_predictions is None:
+        return jnp.zeros(())
+    prev_num = prev_predictions.shape[0]
+    return jnp.mean((predictions[:prev_num] - prev_predictions) ** 2)

@@ -1,0 +1,43 @@
+import json
+
+from fluidnexus_tpu.core.config import Config, dump_config, load_config, parse_cli, read_dumped_config
+
+
+def test_defaults_match_reference():
+    cfg = Config()
+    assert cfg.optim.p0 == 2.0
+    assert cfg.optim.KNN_K == 100
+    assert cfg.optim.emit_ratio_hidden == 1.32
+    assert cfg.model.train_views == "0134"
+    assert cfg.model.init_x_mid == 0.326
+
+
+def test_reference_json_loads_unchanged():
+    """The reference's shipped smoke config must apply onto our config."""
+    cfg = load_config("/root/reference/FluidDynamics/configs/fluid_nexus_smoke_dynamics.json")
+    assert cfg.optim.solver_iterations == 10
+    assert cfg.optim.secs == 0.033
+    assert cfg.optim.p0 == 1.5
+    assert cfg.optim.k == 3
+    assert cfg.optim.init_hidden_velocity == 100.0
+    assert cfg.model.train_views == "20134"
+    assert cfg.model.train_views_fake == "0134"
+    assert cfg.model.refined_strength == "0d5"
+    assert cfg.optim.rigid_body == "cylinder"
+    assert cfg.optim.rigid_cylinder_num == [50, 80]
+
+
+def test_json_overrides_cli(tmp_path):
+    p = tmp_path / "c.json"
+    p.write_text(json.dumps({"p0": 9.0}))
+    cfg = parse_cli(["--p0", "5.0", "--config", str(p)])
+    assert cfg.optim.p0 == 9.0  # JSON wins, reference precedence
+
+
+def test_dump_roundtrip(tmp_path):
+    cfg = load_config(overrides={"p0": 3.25, "duration": 7})
+    path = str(tmp_path / "cfg.json")
+    dump_config(cfg, path)
+    back = read_dumped_config(path)
+    assert back.optim.p0 == 3.25
+    assert back.model.duration == 7
