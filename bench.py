@@ -1,0 +1,77 @@
+"""Benchmark entry point (driver contract).
+
+Measures the keystone hot path — differentiable Gaussian-splat render
+forward+backward — at a FluidNexus-Smoke-like workload (32k Gaussians,
+960x544 image, reference raster semantics) on one chip, and prints ONE JSON
+line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline is relative to BASELINE_FPS = 100 fwd+bwd frames/s, the ballpark
+of the reference CUDA diff-gaussian-rasterizer at this Gaussian count on an
+A100 (the reference repo publishes no numbers — BASELINE.md; its smoke
+workload is ~28k particles + bg splats per 1000-iter frame fit).
+"""
+import json
+import time
+
+import numpy as np
+
+BASELINE_FPS = 100.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from fluidnexus_tpu.data.cameras import Camera
+    from fluidnexus_tpu.ops import RasterizerConfig, rasterize
+
+    rng = np.random.default_rng(0)
+    n = 32768
+    width, height = 960, 544
+
+    R = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1.0]])
+    T = -R.T @ np.array([0.0, 0.0, 3.0])
+    cam = Camera(uid=0, R=R, T=T, fovx=0.9, fovy=0.6, width=width, height=height)
+
+    means = jnp.asarray(rng.uniform(-1.2, 1.2, (n, 3)), jnp.float32)
+    cols = jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)
+    ops = jnp.asarray(rng.uniform(0.05, 0.9, (n,)), jnp.float32)
+    scales = jnp.asarray(np.exp(rng.uniform(-5.0, -3.2, (n, 3))), jnp.float32)
+    rots = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
+    target = jnp.zeros((3, height, width), jnp.float32)
+
+    cfg = RasterizerConfig(tile_capacity=256, chunk=32, dup_x=4, dup_y=4)
+    rkw = dict(
+        view_matrix=jnp.asarray(cam.world_view), proj_matrix=jnp.asarray(cam.full_proj),
+        tan_fovx=cam.tan_fovx, tan_fovy=cam.tan_fovy, width=width, height=height,
+        bg_color=jnp.zeros(3), config=cfg,
+    )
+
+    def loss(means, cols, ops, scales, rots):
+        out = rasterize(means, cols, ops, scales, rots, **rkw)
+        return jnp.abs(out.color - target).mean()
+
+    step = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
+
+    # warmup / compile
+    g = step(means, cols, ops, scales, rots)
+    jax.block_until_ready(g)
+
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        g = step(means, cols, ops, scales, rots)
+    jax.block_until_ready(g)
+    dt = time.perf_counter() - t0
+    fps = iters / dt
+
+    print(json.dumps({
+        "metric": "raster_fwd_bwd_frames_per_sec_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/s (32768 gaussians, 960x544, fwd+bwd)",
+        "vs_baseline": round(fps / BASELINE_FPS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

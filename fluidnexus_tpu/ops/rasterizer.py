@@ -300,7 +300,7 @@ def _composite_tiles(tile_gauss, live, proj: Projected, colors, opacities, cfg, 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tan_fovx", "tan_fovy", "width", "height", "config", "scale_modifier"),
+    static_argnames=("width", "height", "config", "scale_modifier"),
 )
 def rasterize(
     means3d,
@@ -315,8 +315,8 @@ def rasterize(
     view_matrix,
     proj_matrix,
     campos=None,  # kept for API parity with the reference binding; unused (SH is external)
-    tan_fovx: float,
-    tan_fovy: float,
+    tan_fovx,    # scalar, traced (cameras may differ per step without recompiles)
+    tan_fovy,
     width: int,
     height: int,
     bg_color,

@@ -173,6 +173,7 @@ def densify_and_prune(
     rows — the reference's cat_tensors_to_optimizer surgery (:319-347).
     Returns (model, opt_mu, opt_nu, stats).
     """
+    max_new = min(max_new, model.capacity)
     grads = jnp.where(model.denom > 0, model.xyz_gradient_accum / model.denom, 0.0)
     scal = model.get_scaling
     max_scale = scal.max(-1)
