@@ -307,17 +307,28 @@ def _apply_overrides(cfg: Config, overrides: dict) -> List[str]:
             continue
         for sec, names in zip(sections, section_fields):
             if key in names:
-                cur = getattr(sec, key)
-                if cur is not None and value is not None and not isinstance(value, type(cur)):
-                    try:
-                        value = type(cur)(value)
-                    except (TypeError, ValueError):
-                        pass
-                setattr(sec, key, value)
+                setattr(sec, key, _coerce(getattr(sec, key), value))
                 break
         else:
             unknown.append(key)
     return unknown
+
+
+def _coerce(cur, value):
+    """Coerce a CLI/JSON value to the default's type ('--k 3.0' over an int
+    default becomes 3.0 not the string '3.0'; list elements coerce too)."""
+    if cur is None or value is None:
+        return value
+    if isinstance(cur, bool):
+        return value if isinstance(value, bool) else str(value).lower() in ("1", "true", "yes")
+    if isinstance(cur, int) and not isinstance(value, bool):
+        f = float(value)
+        return int(f) if f == int(f) else f
+    if isinstance(cur, float):
+        return float(value)
+    if isinstance(cur, list) and cur:
+        return [_coerce(cur[0], v) for v in value]
+    return value
 
 
 def load_config(json_path: Optional[str] = None, overrides: Optional[dict] = None) -> Config:

@@ -1,0 +1,278 @@
+"""Video diffusion transformer (CogVideoX-class) — flax/TPU implementation.
+
+Parity target: CogVideoX/dit_video_concat.py (DiffusionTransformer:583-804
+with mixins ImagePatchEmbeddingMixin:20, Rotary3DPositionEmbeddingMixin:248,
+AdaLNMixin:435, FinalLayerMixin:364, SwiGLUMixin:408):
+  - 2x2 patch embed over latent frames, text projected and PREPENDED to the
+    token sequence (joint text+video full self-attention);
+  - factorized 3D RoPE on image tokens only (head-dim split d/4 | 3d/8 | 3d/8
+    over t/h/w, pairwise rotate — :265-300);
+  - per-layer AdaLN with 12-way modulation: separate shift/scale/gate for the
+    text and image streams in both attention and MLP (:488-543);
+  - qk layer-norm per head (:455-468);
+  - final layer: 2-way AdaLN modulate + linear + unpatchify (:364-400).
+
+TP-ready: attention/MLP matmuls carry flax logical sharding annotations
+('embed', 'heads', 'mlp') so pjit can shard the 5B configuration over the
+'model' mesh axis; see fluidnexus_tpu/parallel.
+LoRA (r=128 in the reference finetune, configs/cogvideox_5b_lora_prefixi2v.
+yaml:56-59) is built into every attention/MLP projection — params named
+``lora_a/lora_b`` with zero-init B; base weights can be frozen by path.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+P = nn.with_logical_partitioning
+
+
+@dataclasses.dataclass(frozen=True)
+class VideoDiTConfig:
+    hidden_size: int = 3072
+    num_layers: int = 42
+    num_heads: int = 48
+    patch_size: int = 2
+    in_channels: int = 16
+    out_channels: int = 16
+    text_hidden_size: int = 4096     # T5-XXL
+    text_length: int = 226
+    latent_frames: int = 13          # compressed_num_frames
+    latent_height: int = 60
+    latent_width: int = 90
+    time_embed_dim: Optional[int] = None
+    mlp_ratio: int = 4
+    lora_rank: int = 0               # 0 disables LoRA params
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @property
+    def head_dim(self):
+        return self.hidden_size // self.num_heads
+
+    @property
+    def temb_dim(self):
+        return self.time_embed_dim or self.hidden_size
+
+    @property
+    def tokens_per_frame(self):
+        return (self.latent_height // self.patch_size) * (self.latent_width // self.patch_size)
+
+
+def timestep_embedding(t, dim, max_period=10000):
+    """Sinusoidal embedding (reference uses the SD timestep_embedding)."""
+    half = dim // 2
+    freqs = jnp.exp(-np.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], -1)
+
+
+def make_3d_rope(cfg: VideoDiTConfig, theta: float = 10000.0):
+    """Factorized t/h/w rotary tables, (T*H*W, head_dim) cos/sin
+    (Rotary3DPositionEmbeddingMixin:264-295). Note the reference repeats each
+    frequency to ADJACENT pairs (repeat '... n -> ... (n r)', r=2) and uses
+    rotate_half = interleaved pair rotation."""
+    d = cfg.head_dim
+    dim_t, dim_h, dim_w = d // 4, d // 8 * 3, d // 8 * 3
+    t_sz = cfg.latent_frames
+    h_sz = cfg.latent_height // cfg.patch_size
+    w_sz = cfg.latent_width // cfg.patch_size
+
+    def freqs(dim, size):
+        f = 1.0 / (theta ** (np.arange(0, dim, 2)[: dim // 2] / dim))
+        out = np.einsum("s,f->sf", np.arange(size, dtype=np.float64), f)
+        return np.repeat(out, 2, axis=-1)  # (size, dim)
+
+    ft = freqs(dim_t, t_sz)[:, None, None, :]
+    fh = freqs(dim_h, h_sz)[None, :, None, :]
+    fw = freqs(dim_w, w_sz)[None, None, :, :]
+    f = np.concatenate(
+        [np.broadcast_to(ft, (t_sz, h_sz, w_sz, ft.shape[-1])),
+         np.broadcast_to(fh, (t_sz, h_sz, w_sz, fh.shape[-1])),
+         np.broadcast_to(fw, (t_sz, h_sz, w_sz, fw.shape[-1]))], -1
+    ).reshape(t_sz * h_sz * w_sz, d)
+    return jnp.asarray(np.cos(f), jnp.float32), jnp.asarray(np.sin(f), jnp.float32)
+
+
+def rotate_half_interleaved(x):
+    """(x0,x1,x2,x3,...) -> (-x1,x0,-x3,x2,...) — the reference rotate_half."""
+    x2 = x.reshape(x.shape[:-1] + (-1, 2))
+    rot = jnp.stack([-x2[..., 1], x2[..., 0]], -1)
+    return rot.reshape(x.shape)
+
+
+def apply_rope(x, cos, sin):
+    """x: (B,H,S,D); cos/sin: (S,D)."""
+    return x * cos[None, None] + rotate_half_interleaved(x) * sin[None, None]
+
+
+class LoRADense(nn.Module):
+    """Dense with optional LoRA adapter and logical sharding annotations."""
+
+    features: int
+    rank: int = 0
+    use_bias: bool = True
+    kernel_axes: Tuple[str, str] = ("embed", "mlp")
+    dtype: jnp.dtype = jnp.bfloat16
+    lora_alpha: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        in_f = x.shape[-1]
+        kernel = self.param("kernel", P(nn.initializers.lecun_normal(), self.kernel_axes),
+                            (in_f, self.features), jnp.float32)
+        y = x @ kernel.astype(self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", P(nn.initializers.zeros, (self.kernel_axes[-1],)),
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        if self.rank > 0:
+            la = self.param("lora_a", P(nn.initializers.lecun_normal(), (self.kernel_axes[0], None)),
+                            (in_f, self.rank), jnp.float32)
+            lb = self.param("lora_b", P(nn.initializers.zeros, (None, self.kernel_axes[-1])),
+                            (self.rank, self.features), jnp.float32)
+            y = y + (x @ la.astype(self.dtype)) @ lb.astype(self.dtype) * self.lora_alpha
+        return y
+
+
+def _ln(x, eps=1e-6):
+    """LayerNorm without learned affine (modulation supplies shift/scale)."""
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(-1, keepdims=True)
+    var = ((x32 - mu) ** 2).mean(-1, keepdims=True)
+    return ((x32 - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def modulate(x, shift, scale):
+    return x * (1 + scale[:, None, :]) + shift[:, None, :]
+
+
+class JointAttention(nn.Module):
+    cfg: VideoDiTConfig
+
+    @nn.compact
+    def __call__(self, x, rope_cos, rope_sin):
+        c = self.cfg
+        b, s, _ = x.shape
+        qkv = LoRADense(3 * c.hidden_size, rank=c.lora_rank, kernel_axes=("embed", "heads"),
+                        dtype=c.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(b, s, c.num_heads, c.head_dim).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        # per-head-dim qk layernorm (AdaLNMixin qk_ln, :455-468)
+        q_scale = self.param("q_ln_scale", nn.initializers.ones, (c.head_dim,), jnp.float32)
+        k_scale = self.param("k_ln_scale", nn.initializers.ones, (c.head_dim,), jnp.float32)
+        q = _ln(q) * q_scale.astype(c.dtype)
+        k = _ln(k) * k_scale.astype(c.dtype)
+
+        tl = c.text_length
+        q = q.at[:, :, tl:].set(apply_rope(q[:, :, tl:], rope_cos, rope_sin).astype(q.dtype))
+        k = k.at[:, :, tl:].set(apply_rope(k[:, :, tl:], rope_cos, rope_sin).astype(k.dtype))
+
+        attn = jax.nn.dot_product_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
+        )  # (b,s,h,d)
+        out = attn.reshape(b, s, c.hidden_size)
+        return LoRADense(c.hidden_size, rank=c.lora_rank, kernel_axes=("heads", "embed"),
+                         dtype=c.dtype, name="out")(out)
+
+
+class MLP(nn.Module):
+    cfg: VideoDiTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        h = LoRADense(c.mlp_ratio * c.hidden_size, rank=c.lora_rank,
+                      kernel_axes=("embed", "mlp"), dtype=c.dtype, name="fc1")(x)
+        h = jax.nn.gelu(h, approximate=True)
+        return LoRADense(c.hidden_size, rank=c.lora_rank,
+                         kernel_axes=("mlp", "embed"), dtype=c.dtype, name="fc2")(h)
+
+
+class DiTBlock(nn.Module):
+    cfg: VideoDiTConfig
+
+    @nn.compact
+    def __call__(self, x, emb, rope_cos, rope_sin):
+        c = self.cfg
+        tl = c.text_length
+        mod = nn.Dense(12 * c.hidden_size, name="adaLN",
+                       kernel_init=nn.initializers.zeros, dtype=jnp.float32)(nn.silu(emb))
+        (s_msa, sc_msa, g_msa, s_mlp, sc_mlp, g_mlp,
+         ts_msa, tsc_msa, tg_msa, ts_mlp, tsc_mlp, tg_mlp) = jnp.split(mod.astype(c.dtype), 12, -1)
+
+        xt, xi = x[:, :tl], x[:, tl:]
+        h = jnp.concatenate(
+            [modulate(_ln(xt), ts_msa, tsc_msa), modulate(_ln(xi), s_msa, sc_msa)], 1)
+        a = JointAttention(c, name="attn")(h, rope_cos, rope_sin)
+        xt = xt + tg_msa[:, None] * a[:, :tl]
+        xi = xi + g_msa[:, None] * a[:, tl:]
+
+        h = jnp.concatenate(
+            [modulate(_ln(xt), ts_mlp, tsc_mlp), modulate(_ln(xi), s_mlp, sc_mlp)], 1)
+        mo = MLP(c, name="mlp")(h)
+        xt = xt + tg_mlp[:, None] * mo[:, :tl]
+        xi = xi + g_mlp[:, None] * mo[:, tl:]
+        return jnp.concatenate([xt, xi], 1)
+
+
+class VideoDiT(nn.Module):
+    """Denoiser network: (latents, timesteps, text_emb) -> prediction."""
+
+    cfg: VideoDiTConfig
+
+    @nn.compact
+    def __call__(self, latents, timesteps, text_emb):
+        """latents: (B, T, C, H, W); timesteps: (B,); text_emb: (B, L, text_hidden)."""
+        c = self.cfg
+        b, t, ch, hh, ww = latents.shape
+        p = c.patch_size
+
+        # patch embed (ImagePatchEmbeddingMixin:20-52)
+        x = latents.astype(c.dtype).transpose(0, 1, 3, 4, 2)  # b t h w c
+        x = x.reshape(b, t, hh // p, p, ww // p, p, ch).transpose(0, 1, 2, 4, 3, 5, 6)
+        x = x.reshape(b, t * (hh // p) * (ww // p), p * p * ch)
+        x = nn.Dense(c.hidden_size, dtype=c.dtype, name="patch_proj")(x)
+        txt = nn.Dense(c.hidden_size, dtype=c.dtype, name="text_proj")(text_emb.astype(c.dtype))
+        x = jnp.concatenate([txt, x], 1)
+
+        # time embedding MLP (DiffusionTransformer._build_modules:87-92)
+        temb = timestep_embedding(timesteps, c.hidden_size)
+        temb = nn.Dense(c.temb_dim, name="time_fc1", dtype=jnp.float32)(temb)
+        temb = nn.Dense(c.temb_dim, name="time_fc2", dtype=jnp.float32)(nn.silu(temb))
+
+        rope_cos, rope_sin = make_3d_rope(c)
+        rope_cos = rope_cos.astype(c.dtype)[: x.shape[1] - c.text_length]
+        rope_sin = rope_sin.astype(c.dtype)[: x.shape[1] - c.text_length]
+
+        for i in range(c.num_layers):
+            x = DiTBlock(c, name=f"block_{i}")(x, temb, rope_cos, rope_sin)
+
+        # final layer (FinalLayerMixin:364-400)
+        xi = x[:, c.text_length:]
+        mod = nn.Dense(2 * c.hidden_size, name="final_adaLN",
+                       kernel_init=nn.initializers.zeros, dtype=jnp.float32)(nn.silu(temb))
+        shift, scale = jnp.split(mod.astype(c.dtype), 2, -1)
+        xi = modulate(_ln(xi), shift, scale)
+        xi = nn.Dense(p * p * c.out_channels, name="final_linear", dtype=c.dtype)(xi)
+
+        # unpatchify (:352-361)
+        hp, wp = hh // p, ww // p
+        out = xi.reshape(b, t, hp, wp, p, p, c.out_channels)
+        out = out.transpose(0, 1, 6, 2, 4, 3, 5).reshape(b, t, c.out_channels, hh, ww)
+        return out.astype(jnp.float32)
+
+
+def lora_param_filter(path: Tuple[str, ...]) -> bool:
+    """True for LoRA params — the only trainables in the reference finetune
+    (diffusion_video.py:105-127: not_trainable_prefixes ['all'] with
+    matrix_A/B exemption)."""
+    return any(p in ("lora_a", "lora_b") for p in path)

@@ -1,0 +1,300 @@
+"""Causal 3D video VAE (CogVideoX-class): 8x spatial / 4x temporal compression
+to 16-channel latents.
+
+Parity target: CogVideoX/vae_modules/cp_enc_dec.py — ContextParallelCausalConv3d
+(:362-434: time pad = k_t-1 frames, first-frame replicate or cache),
+DownSample3D/Upsample3D (:533-615: odd-length first-frame split),
+ContextParallelResnetBlock3D (:616), Encoder (:718) / Decoder (:841, with
+zq-conditioned SpatialNorm3D :453).
+
+TPU redesign:
+  - channel-last NDHWC layout (XLA-native conv tiling);
+  - the reference's "fake CP cache" (serial chunked decode on one device,
+    :243-291) is a flax ``cache`` variable collection: run
+    ``apply(..., first_chunk=..., mutable=["cache"])`` per latent chunk and
+    the causal convs stay continuous across chunks;
+  - true context parallelism over time (the reference's NCCL P2P halo,
+    :199-242) is shard_map + ppermute in fluidnexus_tpu/parallel.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class VAE3DConfig:
+    ch: int = 128
+    ch_mult: Tuple[int, ...] = (1, 2, 2, 4)
+    num_res_blocks: int = 3
+    in_channels: int = 3
+    out_channels: int = 3
+    z_channels: int = 16
+    double_z: bool = True
+    temporal_compress_times: int = 4
+    dtype: jnp.dtype = jnp.float32
+    scale_factor: float = 1.15258426   # engine latent scale (cogvideox yaml)
+
+    @property
+    def temporal_compress_level(self):
+        return int(np.log2(self.temporal_compress_times))
+
+    @property
+    def num_resolutions(self):
+        return len(self.ch_mult)
+
+
+class CausalConv3d(nn.Module):
+    """3D conv, causal in time: pads (k_t - 1) frames on the left with either
+    the running cache (chunked decode) or a replicate of the first frame
+    (_fake_cp_pass_from_previous_rank, cp_enc_dec.py:243-291)."""
+
+    features: int
+    kernel_size: Tuple[int, int, int] = (3, 3, 3)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, first_chunk: bool = True):
+        kt, kh, kw = self.kernel_size
+        b, t, h, w, c = x.shape
+        pad_t = kt - 1
+        if pad_t > 0:
+            cache = self.variable("cache", "pad", lambda: jnp.zeros((b, pad_t, h, w, c), x.dtype))
+            if first_chunk:
+                front = jnp.repeat(x[:, :1], pad_t, axis=1)
+            else:
+                front = cache.value
+            xp = jnp.concatenate([front, x], axis=1)
+            if not self.is_initializing():
+                cache.value = jax.lax.stop_gradient(xp[:, -pad_t:])
+        else:
+            xp = x
+        return nn.Conv(self.features, self.kernel_size,
+                       padding=[(0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2)],
+                       dtype=self.dtype, name="conv")(xp)
+
+
+def group_norm(x, scale, bias, groups=32, eps=1e-6):
+    b, t, h, w, c = x.shape
+    groups = min(groups, c)
+    xg = x.astype(jnp.float32).reshape(b, t, h, w, groups, c // groups)
+    mu = xg.mean((1, 2, 3, 5), keepdims=True)
+    var = ((xg - mu) ** 2).mean((1, 2, 3, 5), keepdims=True)
+    xn = ((xg - mu) * jax.lax.rsqrt(var + eps)).reshape(b, t, h, w, c)
+    return (xn * scale + bias).astype(x.dtype)
+
+
+class Norm3D(nn.Module):
+    """GroupNorm(32), optionally zq-conditioned (SpatialNorm3D, :453-531)."""
+
+    zq_ch: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, zq=None, first_chunk: bool = True):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        h = group_norm(x, scale, bias)
+        if zq is None:
+            return h
+        # resize zq to x's (t, h, w); first frame kept separate when the
+        # temporal sizes differ (SpatialNorm3D forward, :476-520)
+        zt, xt = zq.shape[1], x.shape[1]
+        if (zt, zq.shape[2], zq.shape[3]) != (x.shape[1], x.shape[2], x.shape[3]):
+            if xt > zt and xt % 2 == 1:
+                z_first = jax.image.resize(zq[:, :1], (zq.shape[0], 1) + x.shape[2:4] + (zq.shape[-1],),
+                                           "nearest")
+                z_rest = jax.image.resize(zq[:, 1:], (zq.shape[0], xt - 1) + x.shape[2:4] + (zq.shape[-1],),
+                                          "nearest")
+                zq = jnp.concatenate([z_first, z_rest], 1)
+            else:
+                zq = jax.image.resize(zq, (zq.shape[0], xt) + x.shape[2:4] + (zq.shape[-1],), "nearest")
+        conv_y = CausalConv3d(c, (1, 1, 1), dtype=self.dtype, name="conv_y")(zq, first_chunk)
+        conv_b = CausalConv3d(c, (1, 1, 1), dtype=self.dtype, name="conv_b")(zq, first_chunk)
+        return h * conv_y + conv_b
+
+
+class ResnetBlock3D(nn.Module):
+    """(ContextParallelResnetBlock3D, cp_enc_dec.py:616-716)"""
+
+    out_channels: int
+    zq_ch: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, zq=None, first_chunk: bool = True):
+        c_in = x.shape[-1]
+        h = Norm3D(self.zq_ch, dtype=self.dtype, name="norm1")(x, zq, first_chunk)
+        h = nn.silu(h)
+        h = CausalConv3d(self.out_channels, dtype=self.dtype, name="conv1")(h, first_chunk)
+        h = Norm3D(self.zq_ch, dtype=self.dtype, name="norm2")(h, zq, first_chunk)
+        h = nn.silu(h)
+        h = CausalConv3d(self.out_channels, dtype=self.dtype, name="conv2")(h, first_chunk)
+        if c_in != self.out_channels:
+            x = nn.Dense(self.out_channels, dtype=self.dtype, name="nin_shortcut")(x)
+        return x + h
+
+
+class DownSample3D(nn.Module):
+    """Spatial stride-2 conv with asymmetric pad; temporal avg-pool-2 with
+    first-frame split on odd lengths (cp_enc_dec.py:573-615)."""
+
+    compress_time: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, first_chunk: bool = True):
+        if self.compress_time and x.shape[1] > 1:
+            if x.shape[1] % 2 == 1 and first_chunk:
+                first, rest = x[:, :1], x[:, 1:]
+                if rest.shape[1] > 0:
+                    rest = (rest[:, 0::2] + rest[:, 1::2]) / 2.0
+                x = jnp.concatenate([first, rest], 1)
+            else:
+                x = (x[:, 0::2] + x[:, 1::2]) / 2.0
+        c = x.shape[-1]
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 1), (0, 1), (0, 0)))
+        b, t = x.shape[:2]
+        x2 = x.reshape((b * t,) + x.shape[2:])
+        x2 = nn.Conv(c, (3, 3), strides=(2, 2), padding="VALID", dtype=self.dtype, name="conv")(x2)
+        return x2.reshape((b, t) + x2.shape[1:])
+
+
+class Upsample3D(nn.Module):
+    """Nearest 2x spatial; temporal 2x (first frame not duplicated on odd
+    first chunk) (cp_enc_dec.py:533-572)."""
+
+    compress_time: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, first_chunk: bool = True):
+        b, t, h, w, c = x.shape
+        if self.compress_time and t > 1:
+            if t % 2 == 1 and first_chunk:
+                first = jax.image.resize(x[:, :1], (b, 1, h * 2, w * 2, c), "nearest")
+                rest = jax.image.resize(x[:, 1:], (b, (t - 1) * 2, h * 2, w * 2, c), "nearest")
+                x = jnp.concatenate([first, rest], 1)
+            else:
+                x = jax.image.resize(x, (b, t * 2, h * 2, w * 2, c), "nearest")
+        else:
+            x = jax.image.resize(x, (b, t, h * 2, w * 2, c), "nearest")
+        b, t = x.shape[:2]
+        x2 = x.reshape((b * t,) + x.shape[2:])
+        x2 = nn.Conv(c, (3, 3), padding="SAME", dtype=self.dtype, name="conv")(x2)
+        return x2.reshape((b, t) + x2.shape[1:])
+
+
+class Encoder3D(nn.Module):
+    """(ContextParallelEncoder3D, cp_enc_dec.py:718-840)"""
+
+    cfg: VAE3DConfig
+
+    @nn.compact
+    def __call__(self, x, first_chunk: bool = True):
+        c = self.cfg
+        h = CausalConv3d(c.ch, dtype=c.dtype, name="conv_in")(x, first_chunk)
+        for i_level in range(c.num_resolutions):
+            block_out = c.ch * c.ch_mult[i_level]
+            for i_block in range(c.num_res_blocks):
+                h = ResnetBlock3D(block_out, dtype=c.dtype,
+                                  name=f"down_{i_level}_block_{i_block}")(h, None, first_chunk)
+            if i_level != c.num_resolutions - 1:
+                h = DownSample3D(compress_time=i_level < c.temporal_compress_level,
+                                 dtype=c.dtype, name=f"down_{i_level}_downsample")(h, first_chunk)
+        h = ResnetBlock3D(h.shape[-1], dtype=c.dtype, name="mid_block_1")(h, None, first_chunk)
+        h = ResnetBlock3D(h.shape[-1], dtype=c.dtype, name="mid_block_2")(h, None, first_chunk)
+        h = Norm3D(dtype=c.dtype, name="norm_out")(h, None, first_chunk)
+        h = nn.silu(h)
+        out_ch = 2 * c.z_channels if c.double_z else c.z_channels
+        return CausalConv3d(out_ch, dtype=c.dtype, name="conv_out")(h, first_chunk)
+
+
+class Decoder3D(nn.Module):
+    """(ContextParallelDecoder3D, cp_enc_dec.py:841-1000; zq-conditioned
+    norms)"""
+
+    cfg: VAE3DConfig
+
+    @nn.compact
+    def __call__(self, z, first_chunk: bool = True):
+        c = self.cfg
+        zq = z
+        block_in = c.ch * c.ch_mult[-1]
+        h = CausalConv3d(block_in, dtype=c.dtype, name="conv_in")(z, first_chunk)
+        h = ResnetBlock3D(block_in, zq_ch=c.z_channels, dtype=c.dtype,
+                          name="mid_block_1")(h, zq, first_chunk)
+        h = ResnetBlock3D(block_in, zq_ch=c.z_channels, dtype=c.dtype,
+                          name="mid_block_2")(h, zq, first_chunk)
+        for i_level in reversed(range(c.num_resolutions)):
+            block_out = c.ch * c.ch_mult[i_level]
+            for i_block in range(c.num_res_blocks + 1):
+                h = ResnetBlock3D(block_out, zq_ch=c.z_channels, dtype=c.dtype,
+                                  name=f"up_{i_level}_block_{i_block}")(h, zq, first_chunk)
+            if i_level != 0:
+                compress = i_level >= c.num_resolutions - c.temporal_compress_level
+                h = Upsample3D(compress_time=compress, dtype=c.dtype,
+                               name=f"up_{i_level}_upsample")(h, first_chunk)
+        h = Norm3D(zq_ch=c.z_channels, dtype=c.dtype, name="norm_out")(h, zq, first_chunk)
+        h = nn.silu(h)
+        return CausalConv3d(c.out_channels, dtype=c.dtype, name="conv_out")(h, first_chunk)
+
+
+class VideoVAE(nn.Module):
+    """Encode/decode wrapper (VideoAutoencoderInferenceWrapper,
+    autoencoder.py:580). Latents are scaled by cfg.scale_factor on encode and
+    unscaled on decode, as the engine does."""
+
+    cfg: VAE3DConfig
+
+    def setup(self):
+        self.encoder = Encoder3D(self.cfg)
+        self.decoder = Decoder3D(self.cfg)
+
+    def encode(self, x, rng=None, first_chunk=True, sample=True):
+        moments = self.encoder(x, first_chunk)
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        if sample and rng is not None:
+            z = mean + jnp.exp(0.5 * jnp.clip(logvar, -30, 20)) * jax.random.normal(rng, mean.shape)
+        else:
+            z = mean
+        return z * self.cfg.scale_factor
+
+    def decode(self, z, first_chunk=True):
+        return self.decoder(z / self.cfg.scale_factor, first_chunk)
+
+    def __call__(self, x, rng=None):
+        z = self.encode(x, rng)
+        return self.decode(z), z
+
+
+def chunked_decode(vae: VideoVAE, params, z, chunk: int = 2):
+    """Serial chunked decode with the conv cache carried across chunks — the
+    reference's fake-CP path (gen_refine_pi2v_long.py:253-265, 2 latent
+    frames per call). z: (B, T, H, W, C) channel-last latents."""
+    t = z.shape[1]
+    # the odd remainder goes to the FIRST chunk, so the temporal first-frame
+    # split happens exactly once (gen_refine_pi2v_long.py:253-257)
+    rem = t % chunk
+    bounds = []
+    start = 0
+    while start < t:
+        end = (chunk + rem) if start == 0 else start + chunk
+        bounds.append((start, min(end, t)))
+        start = end
+    outs = []
+    cache = None
+    for i, (s, e) in enumerate(bounds):
+        zc = z[:, s:e]
+        variables = {"params": params} if cache is None else {"params": params, "cache": cache}
+        out, mut = vae.apply(variables, zc, first_chunk=i == 0, method=vae.decode,
+                             mutable=["cache"])
+        cache = mut["cache"]
+        outs.append(out)
+    return jnp.concatenate(outs, axis=1)
