@@ -1,0 +1,185 @@
+"""Novel-view latent diffusion model (Zero123-class): UNet + KL-VAE + CLIP
+image conditioning + relative-pose projection, with DDPM training loss and
+DDIM sampling.
+
+Parity targets:
+  - Zero123/ldm/models/diffusion/ddpm.py LatentDiffusion:517 — hybrid
+    conditioning: crossattn = cc_projection(concat(CLIP(cond_img), dT)) with
+    cc_projection = Linear(772->768) identity+zeros init (:564-567); concat =
+    VAE-mode latent of the cond image -> 8-channel UNet input (:786-834);
+    CFG dropout 5% prompt-only / 5% image-only / 5% both (:813-827);
+    eps-prediction, linear-sqrt beta schedule;
+  - Zero123/helpers/camera_utils.py get_T:17-32 — spherical pose delta
+    [d_theta, sin d_az, cos d_az, d_radius];
+  - Zero123/ldm/models/diffusion/ddim.py DDIMSampler — 50 steps, eta,
+    classifier-free guidance.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fluidnexus_tpu.diffusion.ldm.autoencoder import AutoencoderKL, KLVAEConfig
+from fluidnexus_tpu.diffusion.ldm.clip import CLIPVisionConfig, CLIPVisionTower
+from fluidnexus_tpu.diffusion.ldm.unet import UNet, UNetConfig
+from fluidnexus_tpu.diffusion.schedules import DiffusionSchedule, append_dims
+
+
+def cartesian_to_spherical(xyz):
+    xy = xyz[..., 0] ** 2 + xyz[..., 1] ** 2
+    z = np.sqrt(xy + xyz[..., 2] ** 2)
+    theta = np.arctan2(np.sqrt(xy), xyz[..., 2])
+    azimuth = np.arctan2(xyz[..., 1], xyz[..., 0])
+    return theta, azimuth, z
+
+
+def get_pose_delta(target_rt: np.ndarray, cond_rt: np.ndarray) -> np.ndarray:
+    """[d_theta, sin d_az, cos d_az, d_radius] (camera_utils.get_T:17-32).
+    target_rt/cond_rt: (3,4) world->cam [R|T]."""
+    r, t = target_rt[:3, :3], target_rt[:, -1]
+    t_target = -r.T @ t
+    r, t = cond_rt[:3, :3], cond_rt[:, -1]
+    t_cond = -r.T @ t
+    th_c, az_c, z_c = cartesian_to_spherical(t_cond[None])
+    th_t, az_t, z_t = cartesian_to_spherical(t_target[None])
+    d_theta = float(th_t - th_c)
+    d_az = float((az_t - az_c) % (2 * math.pi))
+    d_z = float(z_t - z_c)
+    return np.array([d_theta, math.sin(d_az), math.cos(d_az), d_z], np.float32)
+
+
+@dataclasses.dataclass
+class NovelViewModel:
+    unet_config: UNetConfig = dataclasses.field(default_factory=UNetConfig)
+    vae_config: KLVAEConfig = dataclasses.field(default_factory=KLVAEConfig)
+    clip_config: CLIPVisionConfig = dataclasses.field(default_factory=CLIPVisionConfig)
+    num_timesteps: int = 1000
+    linear_start: float = 0.00085
+    linear_end: float = 0.012
+
+    def __post_init__(self):
+        self.unet = UNet(self.unet_config)
+        self.vae = AutoencoderKL(self.vae_config)
+        self.clip = CLIPVisionTower(self.clip_config)
+        self.cc_projection = _CCProjection()
+        self.schedule = DiffusionSchedule.create(
+            self.num_timesteps, self.linear_start, self.linear_end)
+        self.sqrt_ac = jnp.asarray(self.schedule.sqrt_alphas_cumprod())
+        self.sqrt_1mac = jnp.asarray(self.schedule.sqrt_one_minus_alphas_cumprod())
+
+    # ------------------------------ init ------------------------------------
+
+    @property
+    def downsample_factor(self):
+        return 2 ** (len(self.vae_config.ch_mult) - 1)
+
+    def init_params(self, rng, image_size=256):
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        lat = image_size // self.downsample_factor
+        unet_p = self.unet.init(k1, jnp.zeros((1, lat, lat, self.unet_config.in_channels)),
+                                jnp.zeros((1,), jnp.int32),
+                                jnp.zeros((1, 1, self.unet_config.context_dim)))["params"]
+        vae_p = self.vae.init({"params": k2}, jnp.zeros((1, image_size, image_size, 3)))["params"]
+        clip_p = self.clip.init(k3, jnp.zeros((1, 224, 224, 3)))["params"]
+        cc_p = self.cc_projection.init(k4, jnp.zeros((1, 1, 772)))["params"]
+        return {"unet": unet_p, "vae": vae_p, "clip": clip_p, "cc": cc_p}
+
+    # --------------------------- conditioning --------------------------------
+
+    def conditioning(self, params, cond_image, pose_delta, rng=None, cfg_dropout=False):
+        """cond_image (B,H,W,3) in [0,1]; pose_delta (B,4).
+        Returns (context (B,1,768), concat_latent (B,h,w,4)).
+        With cfg_dropout, applies the reference's 5/5/5 scheme (ddpm.py:813-827)."""
+        clip_emb = self.clip.apply({"params": params["clip"]}, cond_image)  # (B,768)
+        concat = self.vae.apply({"params": params["vae"]}, cond_image * 2 - 1,
+                                method=self.vae.encode)
+        if cfg_dropout and rng is not None:
+            b = cond_image.shape[0]
+            k1, k2 = jax.random.split(rng)
+            r = jax.random.uniform(k1, (b,))
+            drop_prompt = (r < 0.10)                    # 5% prompt-only + 5% both
+            drop_image = (r >= 0.05) & (r < 0.15)       # 5% image-only + 5% both
+            clip_emb = jnp.where(drop_prompt[:, None], 0.0, clip_emb)
+            concat = jnp.where(drop_image[:, None, None, None], 0.0, concat)
+        ctx = self.cc_projection.apply(
+            {"params": params["cc"]},
+            jnp.concatenate([clip_emb[:, None, :], pose_delta[:, None, :]], -1))
+        return ctx, concat
+
+    # ------------------------------- loss ------------------------------------
+
+    def loss_fn(self, params, target_image, cond_image, pose_delta, rng):
+        """eps-prediction MSE (LatentDiffusion.p_losses). target/cond images
+        (B,H,W,3) in [0,1]."""
+        k_enc, k_t, k_noise, k_drop = jax.random.split(rng, 4)
+        z = self.vae.apply({"params": params["vae"]}, target_image * 2 - 1,
+                           rngs={"params": k_enc}, method=self.vae.encode,
+                           rng=k_enc, sample=True)
+        ctx, concat = self.conditioning(params, cond_image, pose_delta, k_drop, cfg_dropout=True)
+        b = z.shape[0]
+        t = jax.random.randint(k_t, (b,), 0, self.num_timesteps)
+        noise = jax.random.normal(k_noise, z.shape)
+        z_t = append_dims(self.sqrt_ac[t], z.ndim) * z + append_dims(self.sqrt_1mac[t], z.ndim) * noise
+        x_in = jnp.concatenate([z_t, concat], -1)
+        eps = self.unet.apply({"params": params["unet"]}, x_in, t, ctx)
+        return jnp.mean((eps - noise) ** 2)
+
+    # ------------------------------ sampling ---------------------------------
+
+    def ddim_sample(self, params, cond_image, pose_delta, rng, num_steps=50,
+                    cfg_scale=3.0, eta=1.0, image_size=256):
+        """DDIMSampler.sample with CFG (helpers/test_helpers.py:38-66: S=50,
+        scale 3.0, eta 1.0). Returns decoded images (B,H,W,3) in [0,1]."""
+        b = cond_image.shape[0]
+        lat = image_size // self.downsample_factor
+        ctx, concat = self.conditioning(params, cond_image, pose_delta)
+        uc_ctx = jnp.zeros_like(ctx)
+        uc_concat = jnp.zeros_like(concat)
+
+        times = np.linspace(0, self.num_timesteps - 1, num_steps).astype(int)[::-1]
+        rng, k0 = jax.random.split(rng)
+        x = jax.random.normal(k0, (b, lat, lat, self.unet_config.out_channels))
+
+        ac = np.asarray(self.schedule.alphas_cumprod)
+        for i, t in enumerate(times):
+            t_prev = times[i + 1] if i + 1 < len(times) else -1
+            a_t = ac[t]
+            a_prev = ac[t_prev] if t_prev >= 0 else 1.0
+            tv = jnp.full((b,), t, jnp.int32)
+
+            eps_c = self.unet.apply({"params": params["unet"]},
+                                    jnp.concatenate([x, concat], -1), tv, ctx)
+            eps_u = self.unet.apply({"params": params["unet"]},
+                                    jnp.concatenate([x, uc_concat], -1), tv, uc_ctx)
+            eps = eps_u + cfg_scale * (eps_c - eps_u)
+
+            pred_x0 = (x - math.sqrt(1 - a_t) * eps) / math.sqrt(a_t)
+            sigma = eta * math.sqrt((1 - a_prev) / (1 - a_t) * (1 - a_t / a_prev))
+            dir_xt = math.sqrt(max(1 - a_prev - sigma**2, 0.0)) * eps
+            rng, kn = jax.random.split(rng)
+            noise = sigma * jax.random.normal(kn, x.shape) if sigma > 0 else 0.0
+            x = math.sqrt(a_prev) * pred_x0 + dir_xt + noise
+
+        img = self.vae.apply({"params": params["vae"]}, x, method=self.vae.decode)
+        return jnp.clip((img + 1) / 2, 0.0, 1.0)
+
+
+class _CCProjection(nn.Module):
+    """Linear(772->768), identity over the CLIP block, zero bias
+    (ddpm.py:564-567); trained at 10x LR (:1628-1635)."""
+
+    @nn.compact
+    def __call__(self, x):
+        def init_eye(key, shape, dtype=jnp.float32):
+            w = jnp.zeros(shape, dtype)
+            return w.at[:768, :768].set(jnp.eye(768, dtype=dtype))
+
+        kernel = self.param("kernel", init_eye, (772, 768))
+        bias = self.param("bias", nn.initializers.zeros, (768,))
+        return x @ kernel + bias

@@ -1,0 +1,140 @@
+"""Video diffusion engine: DiT + causal VAE + denoiser + sampler + loss.
+
+Parity target: CogVideoX/diffusion_video.py (SATVideoDiffusionEngine:32-396)
+and sgm/modules/diffusionmodules/loss.py (VideoDiffusionLoss:75-134):
+  - training loss: sample a discrete timestep, noise the latents, keep the
+    first ``fixed_frames`` latents CLEAN for prefix-i2v (loss.py:111-112),
+    denoise, weighted-L2 against x0 with w = 1/(1-abar) (v-pred weighting,
+    loss.py:120-127);
+  - LoRA-only finetuning: every non-LoRA param frozen
+    (diffusion_video.py:105-127);
+  - sample(): DPM++(2M) SDE with SDEdit strength + clean-prefix clamping
+    (diffusion_video.py:242-289).
+
+The reference's model-parallel noise/idx/sigma broadcasts (loss.py:94-100)
+disappear on TPU: the same program computes the same RNG stream on every
+device (SPMD), so consistency is structural.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fluidnexus_tpu.diffusion.schedules import append_dims
+from fluidnexus_tpu.diffusion.video.dit import VideoDiT, VideoDiTConfig
+from fluidnexus_tpu.diffusion.video.sampling import (
+    DynamicCFG, VDenoiser, sample_dpmpp2m_sde, zero_snr_alphas_sqrt,
+)
+from fluidnexus_tpu.diffusion.video.vae3d import VAE3DConfig, VideoVAE, chunked_decode
+
+
+@dataclasses.dataclass
+class VideoEngine:
+    dit_config: VideoDiTConfig
+    vae_config: VAE3DConfig = dataclasses.field(default_factory=VAE3DConfig)
+    num_timesteps: int = 1000
+    fixed_frames: int = 0          # prefix-i2v clean frames (yaml :131)
+    cfg_scale: float = 6.0
+    cfg_exp: float = 5.0
+
+    def __post_init__(self):
+        self.dit = VideoDiT(self.dit_config)
+        self.vae = VideoVAE(self.vae_config)
+        # full 1000-step zero-SNR alpha ladder for training-time indexing:
+        # index 0 = noisiest (matches DiscreteDenoiser's flipped sigmas)
+        ladder, t_ids = zero_snr_alphas_sqrt(self.num_timesteps, self.num_timesteps)
+        self.alpha_sqrt_ladder = jnp.asarray(ladder[:-1])  # drop the appended 1.0
+        self.ladder_t_ids = jnp.asarray(t_ids[:-1])
+
+    # --------------------------------- init ---------------------------------
+
+    def init_params(self, rng):
+        c = self.dit_config
+        latents = jnp.zeros((1, c.latent_frames, c.in_channels, c.latent_height, c.latent_width))
+        txt = jnp.zeros((1, c.text_length, c.text_hidden_size))
+        return self.dit.init(rng, latents, jnp.zeros((1,), jnp.int32), txt)["params"]
+
+    def init_vae_params(self, rng, frames=5, height=32, width=32):
+        x = jnp.zeros((1, frames, height, width, self.vae_config.in_channels))
+        return self.vae.init({"params": rng}, x)["params"]
+
+    # ------------------------------ first stage ------------------------------
+
+    def encode_first_stage(self, vae_params, frames, rng=None):
+        """frames: (B,T,H,W,C) in [-1,1] -> latents (B,T',H',W',Cz)."""
+        z, _ = self.vae.apply({"params": vae_params}, frames, rng,
+                              method=self.vae.encode, mutable=["cache"])
+        return z
+
+    def decode_first_stage(self, vae_params, z, chunk: int = 2):
+        return chunked_decode(self.vae, vae_params, z, chunk=chunk)
+
+    # --------------------------------- loss ---------------------------------
+
+    def loss_fn(self, params, latents, text_emb, rng, is_i2v: bool = True):
+        """latents: (B,T,C,H,W) scaled x0. Returns (scalar_loss, aux)."""
+        b = latents.shape[0]
+        k_idx, k_noise = jax.random.split(rng)
+        idx = jax.random.randint(k_idx, (b,), 0, self.num_timesteps)
+        a = self.alpha_sqrt_ladder[idx]
+        t_ids = self.ladder_t_ids[idx]
+        noise = jax.random.normal(k_noise, latents.shape)
+
+        a_d = append_dims(a, latents.ndim)
+        s_d = append_dims(jnp.sqrt(1 - a**2), latents.ndim)
+        noised = latents * a_d + noise * s_d
+        if is_i2v and self.fixed_frames > 0:
+            noised = jnp.concatenate(
+                [latents[:, : self.fixed_frames], noised[:, self.fixed_frames:]], 1)
+
+        denoiser = VDenoiser(lambda x, t, c: self.dit.apply({"params": params}, x, t, c))
+        denoised = denoiser(noised, a, t_ids, text_emb)
+        w = append_dims(1.0 / jnp.maximum(1 - a**2, 1e-8), latents.ndim)
+        per_sample = jnp.mean((w * (denoised - latents) ** 2).reshape(b, -1), -1)
+        return per_sample.mean(), {"idx": idx, "per_sample": per_sample}
+
+    # -------------------------------- sampling -------------------------------
+
+    def sample(
+        self,
+        params,
+        shape,
+        text_emb,
+        uc_text_emb=None,
+        rng=None,
+        num_steps: int = 50,
+        frames_z=None,
+        sdedit_strength: Optional[float] = None,
+        prefix_clean_frames=None,
+        cfg_scale: Optional[float] = None,
+    ):
+        """(SATVideoDiffusionEngine.sample, diffusion_video.py:242-289)"""
+        rng, k0 = jax.random.split(rng)
+        x = jax.random.normal(k0, shape)
+        denoiser = VDenoiser(lambda xx, t, c: self.dit.apply({"params": params}, xx, t, c))
+        guider = DynamicCFG(scale=cfg_scale or self.cfg_scale, exp=self.cfg_exp,
+                            num_steps=num_steps)
+        return sample_dpmpp2m_sde(
+            denoiser, x, cond=text_emb, uc=uc_text_emb, num_steps=num_steps,
+            guider=guider, rng=rng, num_timesteps=self.num_timesteps,
+            frames_z=frames_z, sdedit_strength=sdedit_strength,
+            prefix_clean_frames=prefix_clean_frames, fixed_frames=self.fixed_frames,
+            sdedit_prefix=False,
+        )
+
+
+def freeze_non_lora(grads, params=None):
+    """Zero gradients of everything but LoRA params (the reference's
+    disable_untrainable_params, diffusion_video.py:105-127)."""
+
+    def mask(path, g):
+        # note: flax Partitioned boxes append a '.value' GetAttrKey, so check
+        # the whole path, not just the leaf name
+        names = "/".join(str(getattr(p, "key", getattr(p, "name", p))) for p in path)
+        return g if ("lora_a" in names or "lora_b" in names) else jnp.zeros_like(g)
+
+    return jax.tree_util.tree_map_with_path(mask, grads)
