@@ -58,8 +58,10 @@ class VDenoiser:
     apply_fn: Callable  # (latents, t, cond) -> v
 
     def __call__(self, x, alpha_sqrt, t_idx, cond):
+        alpha_sqrt = jnp.asarray(alpha_sqrt, jnp.float32)
         sigma = jnp.sqrt(1.0 - alpha_sqrt**2)
-        v = self.apply_fn(x, t_idx, cond)
+        t = jnp.broadcast_to(jnp.asarray(t_idx, jnp.int32).reshape(-1), (x.shape[0],))
+        v = self.apply_fn(x, t, cond)
         a = append_dims(jnp.asarray(alpha_sqrt), x.ndim)
         s = append_dims(sigma, x.ndim)
         return a * x - s * v

@@ -1,0 +1,147 @@
+"""Finetuning the novel-view LDM on a single capture.
+
+Parity target: Zero123/main.py (:30-296) + ldm/data/fluid_nexus.py
+(FluidNexusStaticData:113): dataset of (cond view, target view) pairs from the
+5-camera rig with camera/{i:02d}.npy W2C matrices; batch 96 across 4 GPUs with
+base LR 1e-4 scaled by bs*ngpu (main.py:279-289); cc_projection at 10x LR
+(ddpm.py:1628-1635); the upstream zero123-xl checkpoint's 4->8 channel input
+port (main.py:109-128) happens at weight-port time, not here.
+
+TPU: data-parallel over the 'data' mesh axis; one jitted train step.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from fluidnexus_tpu.core.checkpoint import load_params, save_params
+from fluidnexus_tpu.diffusion.ldm.model import NovelViewModel, get_pose_delta
+from fluidnexus_tpu.parallel.mesh import make_mesh
+
+
+class ViewPairDataset:
+    """frame_%03d/{cam:02d}.png + camera/{cam:02d}.npy (the layout emitted by
+    DataProcessing/fluid_nexus_real/create_zero123_dataset.py)."""
+
+    def __init__(self, root: str, image_size: int = 256):
+        self.root = root
+        self.image_size = image_size
+        self.frames = sorted(d for d in os.listdir(root) if d.startswith("frame_"))
+        cam_dir = os.path.join(root, "camera")
+        self.cams = {int(f[:2]): np.load(os.path.join(cam_dir, f))
+                     for f in os.listdir(cam_dir) if f.endswith(".npy")}
+        self.cam_ids = sorted(self.cams)
+
+    def _img(self, frame: str, cam: int):
+        from PIL import Image
+
+        p = os.path.join(self.root, frame, f"{cam:02d}.png")
+        img = Image.open(p).convert("RGB").resize((self.image_size,) * 2, Image.LANCZOS)
+        return np.asarray(img, np.float32) / 255.0
+
+    def sample_batch(self, batch: int, rng: np.random.Generator):
+        tgt, cond, dt = [], [], []
+        for _ in range(batch):
+            frame = self.frames[rng.integers(len(self.frames))]
+            a, b = rng.choice(self.cam_ids, 2, replace=False)
+            tgt.append(self._img(frame, a))
+            cond.append(self._img(frame, b))
+            dt.append(get_pose_delta(self.cams[a], self.cams[b]))
+        return np.stack(tgt), np.stack(cond), np.stack(dt)
+
+
+def train(args, log=print):
+    import math
+
+    dp = math.gcd(args.batch, jax.device_count())
+    mesh = make_mesh(dp, dp=dp)
+    if args.tiny:
+        from fluidnexus_tpu.diffusion.ldm.autoencoder import KLVAEConfig
+        from fluidnexus_tpu.diffusion.ldm.clip import CLIPVisionConfig
+        from fluidnexus_tpu.diffusion.ldm.unet import UNetConfig
+
+        model = NovelViewModel(
+            unet_config=UNetConfig(model_channels=32, channel_mult=(1, 2), num_res_blocks=1,
+                                   attention_resolutions=(2,), num_heads=4, context_dim=768),
+            vae_config=KLVAEConfig(ch=16, ch_mult=(1, 2), num_res_blocks=1),
+            clip_config=CLIPVisionConfig(image_size=28, patch_size=14, width=32, layers=1,
+                                         heads=4, output_dim=768),
+        )
+    else:
+        model = NovelViewModel()
+    params = load_params(args.ckpt) if args.ckpt else model.init_params(
+        jax.random.PRNGKey(0), image_size=args.image_size)
+    params = jax.device_put(params, NamedSharding(mesh, P()))
+
+    # per-group LR: cc_projection at 10x (ddpm.py:1628-1635); vae+clip frozen
+    base_lr = args.lr * args.batch if args.scale_lr else args.lr
+
+    def label_fn(params):
+        return {"unet": "train", "cc": "cc", "vae": "frozen", "clip": "frozen"}
+
+    opt = optax.multi_transform(
+        {"train": optax.adamw(base_lr), "cc": optax.adamw(10 * base_lr),
+         "frozen": optax.set_to_zero()},
+        label_fn,
+    )
+    opt_state = opt.init(params)
+
+    ds = ViewPairDataset(args.data_dir, args.image_size)
+    rng_np = np.random.default_rng(args.seed)
+    data_sh = NamedSharding(mesh, P("data"))
+
+    @jax.jit
+    def train_step(p, s, tgt, cond, dt, rng):
+        loss, grads = jax.value_and_grad(
+            lambda q: model.loss_fn(q, tgt, cond, dt, rng))(p)
+        updates, s = opt.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    rng = jax.random.PRNGKey(args.seed)
+    t0 = time.time()
+    for it in range(1, args.iterations + 1):
+        tgt, cond, dt = ds.sample_batch(args.batch, rng_np)
+        rng, k = jax.random.split(rng)
+        tgt = jax.device_put(jnp.asarray(tgt), data_sh)
+        cond = jax.device_put(jnp.asarray(cond), data_sh)
+        dt_j = jax.device_put(jnp.asarray(dt, jnp.float32), data_sh)
+        params, opt_state, loss = train_step(params, opt_state, tgt, cond, dt_j, k)
+        if it % args.log_every == 0:
+            log(f"iter {it}/{args.iterations} loss {float(loss):.5f} "
+                f"({it / (time.time() - t0):.2f} it/s)")
+        if args.save_dir and it % args.save_every == 0:
+            save_params(os.path.join(args.save_dir, f"iter_{it:07d}"), jax.device_get(params))
+    return params, float(loss)
+
+
+def build_argparser():
+    ap = argparse.ArgumentParser(description="finetune the novel-view LDM")
+    ap.add_argument("--data_dir", required=True)
+    ap.add_argument("--save_dir", default="")
+    ap.add_argument("--ckpt", default="")
+    ap.add_argument("--iterations", type=int, default=52000)
+    ap.add_argument("--batch", type=int, default=96)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--scale_lr", action="store_true")
+    ap.add_argument("--image_size", type=int, default=256)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--log_every", type=int, default=50)
+    ap.add_argument("--save_every", type=int, default=1000)
+    ap.add_argument("--tiny", action="store_true")
+    return ap
+
+
+def main(argv=None):
+    train(build_argparser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.slow
+def test_train_novel_view_tiny(tmp_path):
+    from PIL import Image
+
+    from fluidnexus_tpu.pipelines.train_novel_view import build_argparser, train
+
+    rng = np.random.default_rng(0)
+    for t in range(2):
+        d = tmp_path / f"frame_{t:03d}"
+        os.makedirs(d)
+        for cam in range(3):
+            Image.fromarray(rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)).save(
+                d / f"{cam:02d}.png")
+    os.makedirs(tmp_path / "camera")
+    for cam in range(3):
+        rt = np.concatenate([np.eye(3), np.array([[0.1 * cam], [0], [2.0]])], 1)
+        np.save(tmp_path / "camera" / f"{cam:02d}.npy", rt.astype(np.float32))
+
+    args = build_argparser().parse_args([
+        "--data_dir", str(tmp_path), "--iterations", "2", "--batch", "2",
+        "--image_size", "32", "--tiny", "--log_every", "1",
+    ])
+    params, loss = train(args, log=lambda *a: None)
+    assert np.isfinite(loss)
+
+
+@pytest.mark.slow
+def test_infer_novel_view_writes_reference_layout(tmp_path):
+    from PIL import Image
+
+    from fluidnexus_tpu.diffusion.ldm.autoencoder import KLVAEConfig
+    from fluidnexus_tpu.diffusion.ldm.clip import CLIPVisionConfig
+    from fluidnexus_tpu.diffusion.ldm.model import NovelViewModel
+    from fluidnexus_tpu.diffusion.ldm.unet import UNetConfig
+    from fluidnexus_tpu.pipelines.infer_novel_view import run_inference
+
+    import jax
+
+    rng = np.random.default_rng(0)
+    data = tmp_path / "data"
+    for t in range(2):
+        d = data / f"frame_{t:03d}"
+        os.makedirs(d)
+        for cam in range(3):
+            Image.fromarray(rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)).save(
+                d / f"{cam:02d}.png")
+    os.makedirs(data / "camera")
+    for cam in range(3):
+        rt = np.concatenate([np.eye(3), np.array([[0.1 * cam], [0], [2.0]])], 1)
+        np.save(data / "camera" / f"{cam:02d}.npy", rt.astype(np.float32))
+
+    model = NovelViewModel(
+        unet_config=UNetConfig(model_channels=32, channel_mult=(1, 2), num_res_blocks=1,
+                               attention_resolutions=(2,), num_heads=4, context_dim=768),
+        vae_config=KLVAEConfig(ch=16, ch_mult=(1, 2), num_res_blocks=1),
+        clip_config=CLIPVisionConfig(image_size=28, patch_size=14, width=32, layers=1,
+                                     heads=4, output_dim=768),
+    )
+    params = model.init_params(jax.random.PRNGKey(0), image_size=32)
+    run_inference(model, params, str(data), str(tmp_path / "out"), source_cam=2,
+                  target_cams=(0, 1), num_frames=2, num_steps=2, image_size=32,
+                  finetune_steps=52000, log=lambda *a: None)
+    # reference output convention: zero123_finetune_<steps>_cam{s}to{c}/frame_%06d.png
+    assert os.path.exists(tmp_path / "out" / "zero123_finetune_52000_cam2to0" / "frame_000001.png")
+    assert os.path.exists(tmp_path / "out" / "zero123_finetune_52000_cam2to1" / "frame_000000.png")
