@@ -53,6 +53,7 @@ class RasterizerConfig:
     tile_capacity: int = 256  # max Gaussians composited per tile (front-most K)
     chunk: int = 32           # Gaussians per compositing scan step
     near: float = 0.2         # frustum near-cull plane (auxiliary.h in_frustum)
+    backend: str = "xla"      # "xla" | "pallas" (TPU kernel, tile_x*tile_y % 128 == 0)
 
 
 class Projected(NamedTuple):
@@ -344,7 +345,26 @@ def rasterize(
     tile_gauss, live = _build_tile_lists(
         jax.tree.map(jax.lax.stop_gradient, proj), cfg, tiles_x, tiles_y
     )
-    t_run, accum, med = _composite_tiles(tile_gauss, live, proj, colors, opacities, cfg, tiles_x, tiles_y)
+    if cfg.backend == "pallas":
+        from fluidnexus_tpu.ops.rasterizer_pallas import composite_tiles as _pallas_composite
+
+        # pre-gather per-tile params (differentiable; reverse = scatter-add)
+        xy_t = proj.xy[tile_gauss]
+        con_t = proj.conic[tile_gauss]
+        op_t = opacities[tile_gauss]
+        col_t = colors[tile_gauss]
+        dep_t = jax.lax.stop_gradient(proj.depth)[tile_gauss]
+        accum4, t_run3, med3 = _pallas_composite(
+            xy_t, con_t, op_t, col_t, dep_t, live.astype(jnp.float32),
+            tiles_x, cfg.tile_x, cfg.tile_y,
+        )
+        num_tiles = tiles_x * tiles_y
+        p = cfg.tile_x * cfg.tile_y
+        accum = accum4.reshape(num_tiles, -1, p).transpose(0, 2, 1)  # (T,P,C)
+        t_run = t_run3.reshape(num_tiles, p)
+        med = med3.reshape(num_tiles, p)
+    else:
+        t_run, accum, med = _composite_tiles(tile_gauss, live, proj, colors, opacities, cfg, tiles_x, tiles_y)
 
     c = colors.shape[-1]
     h_pad, w_pad = tiles_y * cfg.tile_y, tiles_x * cfg.tile_x

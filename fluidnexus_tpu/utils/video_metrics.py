@@ -1,0 +1,66 @@
+"""Offline video/image evaluation metrics.
+
+Parity role: Zero123/ldm/modules/evaluate/{ssim.py, frechet_video_distance.py,
+torch_frechet_video_distance.py, evaluate_perceptualsim.py} — SSIM lives in
+utils/losses.py; this module provides the Fréchet-distance machinery.
+
+The reference FVD uses an I3D network's features; pretrained I3D weights are
+not shippable here, so `frechet_distance` takes a pluggable `feature_fn`
+(plug an I3D/VideoMAE embedder when weights are available). The default
+`pixel_feature_fn` (blurred downsampled pixel statistics per clip) gives a
+deterministic, weight-free distributional distance useful for regression
+tracking; it is NOT numerically comparable to published FVD values.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def pixel_feature_fn(videos, grid: int = 8):
+    """videos: (N, T, H, W, C) in [0,1] -> (N, D) mean/std pooled features."""
+    v = jnp.asarray(videos, jnp.float32)
+    n, t, h, w, c = v.shape
+    v = jax.image.resize(v, (n, t, grid, grid, c), "linear")
+    mean_t = v.mean(1).reshape(n, -1)
+    std_t = v.std(1).reshape(n, -1)
+    return jnp.concatenate([mean_t, std_t], -1)
+
+
+def _sqrtm_psd(mat, eps=1e-10):
+    """Matrix square root of a symmetric PSD matrix via eigendecomposition."""
+    w, v = np.linalg.eigh(mat)
+    w = np.clip(w, 0, None)
+    return (v * np.sqrt(w + eps)) @ v.T
+
+
+def frechet_distance(feats_a: np.ndarray, feats_b: np.ndarray) -> float:
+    """Fréchet distance between Gaussian fits of two feature sets —
+    the FVD/FID formula: |mu_a-mu_b|^2 + tr(Sa + Sb - 2 (Sa Sb)^{1/2})."""
+    a = np.asarray(feats_a, np.float64)
+    b = np.asarray(feats_b, np.float64)
+    mu_a, mu_b = a.mean(0), b.mean(0)
+    sa = np.cov(a, rowvar=False) + 1e-8 * np.eye(a.shape[1])
+    sb = np.cov(b, rowvar=False) + 1e-8 * np.eye(b.shape[1])
+    sqrt_ab = _sqrtm_psd(_sqrtm_psd(sa) @ sb @ _sqrtm_psd(sa))
+    return float(np.sum((mu_a - mu_b) ** 2) + np.trace(sa + sb - 2 * sqrt_ab))
+
+
+def frechet_video_distance(videos_a, videos_b,
+                           feature_fn: Optional[Callable] = None) -> float:
+    """FVD-style distance between two sets of clips (N,T,H,W,C in [0,1])."""
+    fn = feature_fn or pixel_feature_fn
+    return frechet_distance(np.asarray(fn(videos_a)), np.asarray(fn(videos_b)))
+
+
+def perceptual_similarity(img_a, img_b, feature_fn: Optional[Callable] = None) -> float:
+    """Feature-space L2 between two images (evaluate_perceptualsim parity
+    shape; plug a VGG/CLIP feature_fn for LPIPS-class numbers)."""
+    if feature_fn is None:
+        feature_fn = lambda x: pixel_feature_fn(x[:, None])
+    fa = np.asarray(feature_fn(np.asarray(img_a)[None]))
+    fb = np.asarray(feature_fn(np.asarray(img_b)[None]))
+    return float(np.sqrt(((fa - fb) ** 2).sum()))
