@@ -275,6 +275,7 @@ class PipelineConfig:
     dup_x: int = 8
     dup_y: int = 8
     chunk: int = 32
+    backend: str = "auto"   # xla | pallas | auto (pallas kernels on TPU)
 
 
 @dataclass

@@ -41,8 +41,9 @@ CAMERA_HACKS = {
         "4": (-5.5, 7.3, 0.0),
     },
 }
-# Zero123 finetune checkpoint steps per capture (reader :318-338)
-ZERO123_STEPS = {"smoke": 52000, "ball": 88000}
+# Zero123 finetune checkpoint steps per capture (reader :318-338; ScalarReal
+# uses 15500 — scalar_real_reader.py:127)
+ZERO123_STEPS = {"smoke": 52000, "ball": 88000, "scalar": 15500}
 
 
 def _rot4(axis: str, theta: float) -> np.ndarray:
@@ -97,6 +98,9 @@ def fake_view_folder(capture_part: str, source_cam: str, cam_name: str,
                     f"_cogvxlora5b_strength{refined_strength}_rawsize")
         return (f"zero123_finetune_{ZERO123_STEPS['smoke']}_cam{source_cam}to{cam_name}"
                 f"_cogvxlora5b_strength{refined_strength}_start033_rawsize")
+    if capture_part == "scalar":
+        return (f"zero123_finetune_{ZERO123_STEPS['scalar']}_cam{source_cam}to{cam_name}"
+                f"_cogvxlora5b_strength{refined_strength}_rawsize")
     raise ValueError(f"Unknown capture_part: {capture_part}")
 
 
@@ -112,6 +116,10 @@ def future_view_folder(capture_part: str, cam_name: str, gen_future_strength: st
     if capture_part == "ball":
         return (f"camera0{cam_name}_cogvxlora5b_future_prefix9_i2v3_strength{gen_future_strength}"
                 f"_start{gen_future_since}_ball_rawsize")
+    if capture_part == "scalar":
+        # ScalarReal names future folders by the train0x view (scalar_real_reader.py:136)
+        return (f"train0{cam_name}_cogvxlora5b_future_prefix9_i2v3_strength{gen_future_strength}"
+                f"_start{gen_future_since}_scalar_rawsize")
     raise ValueError(f"Unknown capture_part: {capture_part}")
 
 
@@ -167,8 +175,15 @@ def read_cameras_real_capture(
     read_image: bool = True,
     resolution: int = -1,
     extension: str = ".png",
+    dataset_style: str = "fluid_nexus",
 ) -> List[Camera]:
-    """Build the per-(camera, frame) Camera list from a FluidNexus capture."""
+    """Build the per-(camera, frame) Camera list from a FluidNexus capture.
+
+    dataset_style="scalar" switches to the ScalarReal layout
+    (scalar_real_reader.py: real frames under colmap_frames/colmap_{t}/
+    {file_path}.png, no camera hacks, capture_part forced to "scalar")."""
+    if dataset_style == "scalar":
+        capture_part = "scalar"
     with open(os.path.join(path, transforms_file)) as f:
         contents = json.load(f)
 
@@ -193,7 +208,11 @@ def read_cameras_real_capture(
             is_fake_view = False
             image = real_image = None
             if read_image:
-                if is_bg:
+                if dataset_style == "scalar":
+                    # ScalarReal layout (scalar_real_reader.py:115)
+                    frame_name = os.path.join("colmap_frames", f"colmap_{time_idx}",
+                                              frame["file_path"] + extension)
+                elif is_bg:
                     frame_name = os.path.join(frame["file_path"] + "_bg", f"{time_idx:03d}{extension}")
                 else:
                     frame_name = os.path.join(frame["file_path"], f"{tmp_time_idx:03d}{extension}")

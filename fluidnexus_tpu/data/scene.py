@@ -40,7 +40,11 @@ def _train_transforms_file(model) -> str:
 
 def read_scene(cfg: Config, eval_only: bool = False) -> SceneInfo:
     m = cfg.model
+    # loader registry parity (dataset_readers.py:8-13): scalar_real[_eval]
+    # selects the ScalarReal layout; fluid_nexus_real[_eval] the default
+    style = "scalar" if "scalar" in (m.loader or "") else "fluid_nexus"
     common = dict(
+        dataset_style=style,
         start_time=m.start_time, duration=m.duration, time_step=m.time_step,
         max_timestamp=m.max_timestamp, gray_image=m.gray_image,
         train_views=m.train_views, is_bg=m.is_bg, capture_part=m.capture_part,

@@ -105,12 +105,15 @@ class AutoencoderKL(nn.Module):
     def setup(self):
         self.encoder = KLEncoder(self.cfg)
         self.decoder = KLDecoder(self.cfg)
+        # 1x1 moment/latent convs (AutoencoderKL quant_conv/post_quant_conv)
+        self.quant_conv = nn.Conv(2 * self.cfg.z_channels, (1, 1), dtype=self.cfg.dtype)
+        self.post_quant_conv = nn.Conv(self.cfg.z_channels, (1, 1), dtype=self.cfg.dtype)
 
     def encode_moments(self, x):
-        return self.encoder(x)
+        return self.quant_conv(self.encoder(x))
 
     def encode(self, x, rng=None, sample=False):
-        moments = self.encoder(x)
+        moments = self.quant_conv(self.encoder(x))
         mean, logvar = jnp.split(moments, 2, -1)
         if sample and rng is not None:
             z = mean + jnp.exp(0.5 * jnp.clip(logvar, -30, 20)) * jax.random.normal(rng, mean.shape)
@@ -119,7 +122,7 @@ class AutoencoderKL(nn.Module):
         return z * self.cfg.scale_factor
 
     def decode(self, z):
-        return self.decoder(z / self.cfg.scale_factor)
+        return self.decoder(self.post_quant_conv(z / self.cfg.scale_factor))
 
     def __call__(self, x, rng=None):
         z = self.encode(x, rng, sample=True)

@@ -93,9 +93,9 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context):
-        x = x + CrossAttention(self.heads, self.dtype, name="attn1")(nn.LayerNorm(dtype=jnp.float32)(x))
-        x = x + CrossAttention(self.heads, self.dtype, name="attn2")(nn.LayerNorm(dtype=jnp.float32)(x), context)
-        h = nn.LayerNorm(dtype=jnp.float32)(x)
+        x = x + CrossAttention(self.heads, self.dtype, name="attn1")(nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(x))
+        x = x + CrossAttention(self.heads, self.dtype, name="attn2")(nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(x), context)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(x)
         # GEGLU feed-forward (ldm/modules/attention.py FeedForward)
         hg = nn.Dense(x.shape[-1] * 8, dtype=self.dtype, name="ff_in")(h)
         a, g = jnp.split(hg, 2, -1)
@@ -147,8 +147,10 @@ class UNet(nn.Module):
                                            name=f"down_{i}_attn_{j}")(h, context)
                 hs.append(h)
             if i != len(c.channel_mult) - 1:
-                h = nn.Conv(ch, (3, 3), strides=(2, 2), padding="SAME", dtype=c.dtype,
-                            name=f"down_{i}_downsample")(h)
+                # symmetric pad + VALID matches torch Conv2d(stride=2, padding=1)
+                # pixel alignment (XLA SAME would pad (0,1))
+                h = nn.Conv(ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                            dtype=c.dtype, name=f"down_{i}_downsample")(h)
                 hs.append(h)
                 ds *= 2
         # mid

@@ -1,0 +1,231 @@
+"""Torch-checkpoint -> flax parameter porting utilities.
+
+A reference user arrives with torch checkpoints: the zero123-xl LDM ckpt
+(Zero123/main.py:98-128, including its 4->8 input-channel port), the
+CogVideoX SAT checkpoint + LoRA deltas, CLIP, and the VAEs. This module holds
+the layout converters and the input-channel port; the per-model name maps are
+assembled on top of these.
+
+Conventions (torch -> flax/NHWC):
+  Linear  W (out,in)            -> kernel (in,out)
+  Conv2d  W (out,in,kh,kw)      -> kernel (kh,kw,in,out)
+  Conv3d  W (out,in,kt,kh,kw)   -> kernel (kt,kh,kw,in,out)
+  Norm    weight/bias           -> scale/bias unchanged
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def t2f_linear(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.transpose(np.asarray(w), (1, 0)))
+
+
+def t2f_conv2d(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.transpose(np.asarray(w), (2, 3, 1, 0)))
+
+
+def t2f_conv3d(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.transpose(np.asarray(w), (2, 3, 4, 1, 0)))
+
+
+def port_input_conv_4to8(conv_w: np.ndarray) -> np.ndarray:
+    """The zero123 4->8 input-channel port (Zero123/main.py:109-128): the
+    upstream UNet's first conv takes 4 latent channels; FluidNexus feeds 8
+    (noisy latent + cond-image latent). New channels start at zero so the
+    pretrained behavior is preserved at step 0.
+
+    conv_w: torch layout (out, 4, kh, kw) -> (out, 8, kh, kw)."""
+    out, cin, kh, kw = conv_w.shape
+    assert cin == 4, conv_w.shape
+    new = np.zeros((out, 8, kh, kw), conv_w.dtype)
+    new[:, :4] = conv_w
+    return new
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch checkpoint to numpy. Handles Lightning ('state_dict') and
+    SAT ('module') wrappers."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict):
+        for key in ("state_dict", "module", "model"):
+            if key in ckpt and isinstance(ckpt[key], dict):
+                ckpt = ckpt[key]
+                break
+    return {k: v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
+            for k, v in ckpt.items() if hasattr(v, "shape")}
+
+
+def merge_lora_into_dense(kernel: np.ndarray, lora_a: np.ndarray, lora_b: np.ndarray,
+                          alpha: float = 1.0) -> np.ndarray:
+    """Fold a trained LoRA pair into the base kernel (flax layout):
+    W' = W + A @ B * alpha. Useful when exporting finetuned checkpoints for
+    plain-Dense inference."""
+    return kernel + (lora_a @ lora_b) * alpha
+
+
+# ------------------------- Zero123 UNet name mapping --------------------------
+
+
+def port_zero123_unet(sd: Dict[str, np.ndarray], cfg) -> Dict:
+    """Map an openaimodel UNetModel state dict (Zero123's network,
+    ldm/modules/diffusionmodules/openaimodel.py) onto
+    fluidnexus_tpu.diffusion.ldm.unet.UNet's parameter tree.
+
+    Validated by forward equivalence against the reference torch module
+    (tests/test_port_unet.py). For the FluidNexus finetunes the checkpoint's
+    UNet keys live under 'model.diffusion_model.' — strip that prefix first;
+    apply port_input_conv_4to8 beforehand when porting the upstream
+    4-channel zero123-xl checkpoint (Zero123/main.py:109-128)."""
+
+    def gn(tp):
+        return {"GroupNorm_0": {"scale": np.asarray(sd[tp + ".weight"]),
+                                "bias": np.asarray(sd[tp + ".bias"])}}
+
+    def ln(tp):
+        return {"scale": np.asarray(sd[tp + ".weight"]), "bias": np.asarray(sd[tp + ".bias"])}
+
+    def conv(tp):
+        return {"kernel": t2f_conv2d(sd[tp + ".weight"]), "bias": np.asarray(sd[tp + ".bias"])}
+
+    def dense(tp, bias=True):
+        d = {"kernel": t2f_linear(sd[tp + ".weight"])}
+        if bias:
+            d["bias"] = np.asarray(sd[tp + ".bias"])
+        return d
+
+    def resblock(tp):
+        r = {
+            "GroupNorm32_0": gn(tp + ".in_layers.0"),
+            "conv1": conv(tp + ".in_layers.2"),
+            "emb_proj": dense(tp + ".emb_layers.1"),
+            "GroupNorm32_1": gn(tp + ".out_layers.0"),
+            "conv2": conv(tp + ".out_layers.3"),
+        }
+        if tp + ".skip_connection.weight" in sd:
+            w = sd[tp + ".skip_connection.weight"]
+            r["skip"] = {"kernel": t2f_conv2d(w), "bias": np.asarray(sd[tp + ".skip_connection.bias"])}
+        return r
+
+    def xattn(tp):
+        return {"to_q": dense(tp + ".to_q", bias=False),
+                "to_k": dense(tp + ".to_k", bias=False),
+                "to_v": dense(tp + ".to_v", bias=False),
+                "to_out": dense(tp + ".to_out.0")}
+
+    def spatial(tp, depth):
+        r = {"GroupNorm32_0": gn(tp + ".norm"),
+             "proj_in": conv(tp + ".proj_in"),
+             "proj_out": conv(tp + ".proj_out")}
+        for i in range(depth):
+            tb = f"{tp}.transformer_blocks.{i}"
+            r[f"block_{i}"] = {
+                "LayerNorm_0": ln(tb + ".norm1"), "attn1": xattn(tb + ".attn1"),
+                "LayerNorm_1": ln(tb + ".norm2"), "attn2": xattn(tb + ".attn2"),
+                "LayerNorm_2": ln(tb + ".norm3"),
+                "ff_in": dense(tb + ".ff.net.0.proj"),
+                "ff_out": dense(tb + ".ff.net.2"),
+            }
+        return r
+
+    p: Dict = {
+        "time_fc1": dense("time_embed.0"),
+        "time_fc2": dense("time_embed.2"),
+        "conv_in": conv("input_blocks.0.0"),
+        "GroupNorm32_0": gn("out.0"),
+        "conv_out": conv("out.2"),
+    }
+    attn_res = set(cfg.attention_resolutions)
+    depth = cfg.transformer_depth
+
+    k, ds = 1, 1
+    for i in range(len(cfg.channel_mult)):
+        for j in range(cfg.num_res_blocks):
+            p[f"down_{i}_res_{j}"] = resblock(f"input_blocks.{k}.0")
+            if ds in attn_res:
+                p[f"down_{i}_attn_{j}"] = spatial(f"input_blocks.{k}.1", depth)
+            k += 1
+        if i != len(cfg.channel_mult) - 1:
+            p[f"down_{i}_downsample"] = conv(f"input_blocks.{k}.0.op")
+            k += 1
+            ds *= 2
+
+    p["mid_res_1"] = resblock("middle_block.0")
+    p["mid_attn"] = spatial("middle_block.1", depth)
+    p["mid_res_2"] = resblock("middle_block.2")
+
+    k = 0
+    for i in reversed(range(len(cfg.channel_mult))):
+        for j in range(cfg.num_res_blocks + 1):
+            p[f"up_{i}_res_{j}"] = resblock(f"output_blocks.{k}.0")
+            idx = 1
+            if ds in attn_res:
+                p[f"up_{i}_attn_{j}"] = spatial(f"output_blocks.{k}.{idx}", depth)
+                idx += 1
+            if i != 0 and j == cfg.num_res_blocks:
+                p[f"up_{i}_upsample"] = conv(f"output_blocks.{k}.{idx}.conv")
+                ds //= 2
+            k += 1
+    return p
+
+
+# ------------------------- KL-VAE (SD f=8) name mapping -----------------------
+
+
+def port_kl_vae(sd: Dict[str, np.ndarray], cfg) -> Dict:
+    """Map an SD AutoencoderKL state dict (Zero123's first stage,
+    ldm/modules/diffusionmodules/model.py Encoder/Decoder + quant convs) onto
+    fluidnexus_tpu.diffusion.ldm.autoencoder.AutoencoderKL's tree. Checkpoint
+    keys typically live under 'first_stage_model.' — strip first. Validated
+    by forward equivalence (tests/test_port_unet.py)."""
+
+    def gn(tp):
+        return {"scale": np.asarray(sd[tp + ".weight"]), "bias": np.asarray(sd[tp + ".bias"])}
+
+    def conv(tp):
+        return {"kernel": t2f_conv2d(sd[tp + ".weight"]), "bias": np.asarray(sd[tp + ".bias"])}
+
+    def res(tp):
+        r = {"GroupNorm_0": gn(tp + ".norm1"), "conv1": conv(tp + ".conv1"),
+             "GroupNorm_1": gn(tp + ".norm2"), "conv2": conv(tp + ".conv2")}
+        if tp + ".nin_shortcut.weight" in sd:
+            r["nin_shortcut"] = conv(tp + ".nin_shortcut")
+        return r
+
+    def attn(tp):
+        return {"GroupNorm_0": gn(tp + ".norm"),
+                "q": conv(tp + ".q"), "k": conv(tp + ".k"), "v": conv(tp + ".v"),
+                "proj_out": conv(tp + ".proj_out")}
+
+    n_levels = len(cfg.ch_mult)
+    enc: Dict = {"conv_in": conv("encoder.conv_in"),
+                 "mid_block_1": res("encoder.mid.block_1"),
+                 "mid_attn": attn("encoder.mid.attn_1"),
+                 "mid_block_2": res("encoder.mid.block_2"),
+                 "GroupNorm_0": gn("encoder.norm_out"),
+                 "conv_out": conv("encoder.conv_out")}
+    for i in range(n_levels):
+        for j in range(cfg.num_res_blocks):
+            enc[f"down_{i}_block_{j}"] = res(f"encoder.down.{i}.block.{j}")
+        if i != n_levels - 1:
+            enc[f"down_{i}_downsample"] = conv(f"encoder.down.{i}.downsample.conv")
+
+    dec: Dict = {"conv_in": conv("decoder.conv_in"),
+                 "mid_block_1": res("decoder.mid.block_1"),
+                 "mid_attn": attn("decoder.mid.attn_1"),
+                 "mid_block_2": res("decoder.mid.block_2"),
+                 "GroupNorm_0": gn("decoder.norm_out"),
+                 "conv_out": conv("decoder.conv_out")}
+    for i in range(n_levels):
+        for j in range(cfg.num_res_blocks + 1):
+            dec[f"up_{i}_block_{j}"] = res(f"decoder.up.{i}.block.{j}")
+        if i != 0:
+            dec[f"up_{i}_upsample"] = conv(f"decoder.up.{i}.upsample.conv")
+
+    return {"encoder": enc, "decoder": dec,
+            "quant_conv": conv("quant_conv"),
+            "post_quant_conv": conv("post_quant_conv")}

@@ -151,6 +151,25 @@ def modulate(x, shift, scale):
     return x * (1 + scale[:, None, :]) + shift[:, None, :]
 
 
+def _joint_attention(q, k, v):
+    """Full self-attention over the joint text+video sequence. On TPU with
+    block-aligned shapes this takes the Pallas flash-attention kernel (the
+    xformers memory-efficient path of the reference, sgm/modules/attention.py
+    :248-346); otherwise XLA's fused dot_product_attention. q/k/v: (b,h,s,d);
+    returns (b,s,h,d)."""
+    b, h, s, d = q.shape
+    if jax.default_backend() == "tpu" and s % 512 == 0 and d % 128 == 0:
+        try:
+            from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+
+            out = flash_attention(q, k, v, causal=False, sm_scale=1.0 / float(np.sqrt(d)))
+            return out.transpose(0, 2, 1, 3)
+        except Exception:
+            pass
+    return jax.nn.dot_product_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3))
+
+
 class JointAttention(nn.Module):
     cfg: VideoDiTConfig
 
@@ -176,9 +195,7 @@ class JointAttention(nn.Module):
         q = q.at[:, :, tl:].set(apply_rope(q[:, :, tl:], rope_cos, rope_sin).astype(q.dtype))
         k = k.at[:, :, tl:].set(apply_rope(k[:, :, tl:], rope_cos, rope_sin).astype(k.dtype))
 
-        attn = jax.nn.dot_product_attention(
-            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
-        )  # (b,s,h,d)
+        attn = _joint_attention(q, k, v)  # (b,s,h,d)
         out = attn.reshape(b, s, c.hidden_size)
         return LoRADense(c.hidden_size, rank=c.lora_rank, kernel_axes=("heads", "embed"),
                          dtype=c.dtype, name="out")(out)

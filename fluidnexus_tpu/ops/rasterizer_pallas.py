@@ -1,24 +1,34 @@
 """Pallas TPU kernels for the per-tile alpha compositing hot loop.
 
-The XLA composite in rasterizer.py streams (tiles, chunk, pixels) temporaries
-through HBM; these kernels keep the whole per-tile state (transmittance,
-accumulators, per-slot params) in VMEM — the TPU analog of the CUDA kernel's
-shared-memory streaming (reference forward.cu:250-373 / backward.cu:503-533,
+MXU formulation — the per-Gaussian splat math is recast as matmuls so the
+systolic array does the work and no per-Gaussian scalar extraction happens
+(Mosaic forbids dynamic lane indexing):
+
+  power(K,P)   = F(K,6) @ G(6,P)          F: per-Gaussian quadratic-form
+                                          coefficients, G: per-pixel monomials
+                                          [px^2, py^2, px*py, px, py, 1]
+  prefix products: log-space, strictly-lower-triangular ones matrix per
+                   64-slot block:  excl(K,P) = LT(B,B) @ log(1-a)(B,P)
+  accumulation: accum(C,P) = col^T(C,K) @ w(K,P)
+  backward reductions: per-Gaussian pixel moments M(K,6) = dpower @ G^T
+
+This keeps all per-tile state in VMEM (the TPU analog of the reference CUDA
+kernel's shared-memory streaming, forward.cu:250-373 / backward.cu:503-533 —
 whose atomicAdd accumulation becomes per-slot gradient outputs reduced by
-XLA's gather-transpose scatter outside the kernel).
+XLA's gather-transpose scatter outside).
 
 Exposed as `composite_tiles` with a custom VJP at the PRE-GATHERED per-tile
-arrays (T, K, ...) boundary: upstream (projection math, per-tile gather) stays
-plain JAX autodiff.
+arrays (T, K, ...) boundary; upstream (projection, gather) stays JAX autodiff.
 
 Semantics identical to rasterizer._composite_tiles: alpha = min(.99,
 op*exp(power)), skip power>0 / alpha<1/255, contributions masked once
-T < 1e-4 (T itself keeps updating), median depth where T crosses 0.5.
+T < 1e-4 (T itself keeps updating), median depth where T crosses 0.5
+(transmittance is monotone, so the crossing is unique — computed in one
+parallel reduction instead of a carried flag).
 """
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +37,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
+BLOCK = 64          # Gaussians per triangular-prefix block
+LOG_EPS = 1e-37     # log floor (a_eff <= 0.99 keeps log1p(-a) >= log(0.01))
 
 
 def _interpret() -> bool:
@@ -34,192 +46,240 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _pixel_coords(t, tiles_x, tile_x, tile_y, rows):
-    """Global pixel coordinates for tile t as (rows, 128) f32 arrays."""
-    p = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 0) * LANE + \
-        jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
-    px_local = p % tile_x
-    py_local = p // tile_x
-    base_x = (t % tiles_x) * tile_x
-    base_y = (t // tiles_x) * tile_y
-    return (base_x + px_local).astype(jnp.float32), (base_y + py_local).astype(jnp.float32)
+def _pixel_monomials(t, tiles_x, tile_x, tile_y, p):
+    """G (6,P): [px^2, py^2, px*py, px, py, 1] and raw (1,P) px/py rows."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    px = ((t % tiles_x) * tile_x + idx % tile_x).astype(jnp.float32)
+    py = ((t // tiles_x) * tile_y + idx // tile_x).astype(jnp.float32)
+    ones = jnp.ones_like(px)
+    g = jnp.concatenate([px * px, py * py, px * py, px, py, ones], axis=0)  # (6,P)
+    return g, px, py
 
 
-def _fwd_kernel(tiles_x, tile_x, tile_y, channels,
+def _quadratic_coeffs(xy, con):
+    """F (K,6) with power = F @ G:
+    power = -.5 ca dx^2 - .5 cc dy^2 - cb dx dy,  dx = x - px, dy = y - py
+          = -.5ca px^2 - .5cc py^2 - cb px py
+            + (ca x + cb y) px + (cc y + cb x) py
+            - .5ca x^2 - .5cc y^2 - cb x y
+    """
+    x = xy[:, 0:1]
+    y = xy[:, 1:2]
+    ca = con[:, 0:1]
+    cb = con[:, 1:2]
+    cc = con[:, 2:3]
+    return jnp.concatenate(
+        [-0.5 * ca, -0.5 * cc, -cb, ca * x + cb * y, cc * y + cb * x,
+         -0.5 * ca * x * x - 0.5 * cc * y * y - cb * x * y], axis=1)
+
+
+def _tri_lower(b):
+    """Strictly-lower-triangular ones (B,B): row i sums entries j < i."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    return (c < r).astype(jnp.float32)
+
+
+def _alphas(power, op, live):
+    """Masked effective alpha + validity (shared fwd/bwd)."""
+    raw = op * jnp.exp(power)                     # op (K,1) broadcasts
+    alpha = jnp.minimum(0.99, raw)
+    ok = (power <= 0.0) & (alpha >= 1.0 / 255.0) & (live > 0.5)
+    return jnp.where(ok, alpha, 0.0), ok, raw
+
+
+def _fwd_kernel(tiles_x, tile_x, tile_y, channels, block,
                 xy_ref, con_ref, op_ref, col_ref, dep_ref, live_ref,
                 accum_ref, ft_ref, med_ref):
     t = pl.program_id(0)
     k = xy_ref.shape[1]
     p = tile_x * tile_y
-    rows = p // LANE
-    pixx, pixy = _pixel_coords(t, tiles_x, tile_x, tile_y, rows)
+    g_mat, _, _ = _pixel_monomials(t, tiles_x, tile_x, tile_y, p)
 
-    accum_ref[...] = jnp.zeros((1, channels, rows, LANE), jnp.float32)
-    med_ref[...] = jnp.full((1, rows, LANE), 15.0, jnp.float32)
+    f_mat = _quadratic_coeffs(xy_ref[0], con_ref[0])
+    power = jnp.dot(f_mat, g_mat, preferred_element_type=jnp.float32)  # (K,P)
+    a_eff, ok, _ = _alphas(power, op_ref[0], live_ref[0])
+    log1m = jnp.log(jnp.maximum(1.0 - a_eff, LOG_EPS))
 
-    def body(i, carry):
-        t_run, med_set = carry
-        x = xy_ref[0, i, 0]
-        y = xy_ref[0, i, 1]
-        ca = con_ref[0, i, 0]
-        cb = con_ref[0, i, 1]
-        cc = con_ref[0, i, 2]
-        op = op_ref[0, 0, i]
-        dep = dep_ref[0, 0, i]
-        lv = live_ref[0, 0, i]
+    lt = _tri_lower(block)
+    log_t = jnp.zeros((1, p), jnp.float32)
+    accum = jnp.zeros((channels, p), jnp.float32)
+    med_num = jnp.zeros((1, p), jnp.float32)
+    med_any = jnp.zeros((1, p), jnp.float32)
 
-        dx = x - pixx
-        dy = y - pixy
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        alpha = jnp.minimum(0.99, op * jnp.exp(power))
-        ok = (power <= 0.0) & (alpha >= 1.0 / 255.0) & (lv > 0.5)
-        a_eff = jnp.where(ok, alpha, 0.0)
+    for b in range(k // block):
+        sl = slice(b * block, (b + 1) * block)
+        l_blk = log1m[sl]                                            # (B,P)
+        excl = jnp.dot(lt, l_blk, preferred_element_type=jnp.float32)
+        log_before = log_t + excl                                    # (B,P)
+        t_before = jnp.exp(log_before)
+        t_after = jnp.exp(log_before + l_blk)
+        w = a_eff[sl] * t_before * (t_before >= 1e-4)
+        accum += jnp.dot(col_ref[0][sl].T, w, preferred_element_type=jnp.float32)
+        cross = ((t_before > 0.5) & (t_after < 0.5) & ok[sl]).astype(jnp.float32)
+        med_num += jnp.dot(dep_ref[0][sl].T, cross, preferred_element_type=jnp.float32)
+        med_any += jnp.sum(cross, axis=0, keepdims=True)
+        log_t = log_t + jnp.sum(l_blk, axis=0, keepdims=True)
 
-        alive_px = t_run >= 1e-4
-        w = a_eff * t_run * alive_px
-        for c in range(channels):
-            accum_ref[0, c] += w * col_ref[0, i, c]
-
-        t_new = t_run * (1.0 - a_eff)
-        cross = (t_run > 0.5) & (t_new < 0.5) & ok & alive_px & ~med_set
-        med_ref[0] = jnp.where(cross, dep, med_ref[0])
-        return t_new, med_set | cross
-
-    t_run, _ = jax.lax.fori_loop(
-        0, k, body,
-        (jnp.ones((rows, LANE), jnp.float32), jnp.zeros((rows, LANE), bool)),
-    )
-    ft_ref[0] = t_run
+    accum_ref[0] = accum
+    ft_ref[0] = jnp.exp(log_t)
+    med_ref[0] = jnp.where(med_any > 0.5, med_num, 15.0)
 
 
-def _bwd_kernel(tiles_x, tile_x, tile_y, channels,
+def _bwd_kernel(tiles_x, tile_x, tile_y, channels, block,
                 xy_ref, con_ref, op_ref, col_ref, dep_ref, live_ref,
-                ft_ref, gacc_ref, gft_ref,
+                gacc_ref, gft_ref,
                 dxy_ref, dcon_ref, dop_ref, dcol_ref):
-    """Back-to-front per-tile gradient pass (the TPU version of
-    backward.cu:503-533). Emits per-SLOT grads; scatter to Gaussians happens
-    outside."""
+    """Two-sweep per-tile gradient pass: forward sweep caches per-block
+    transmittance carries; reverse sweep forms the suffix color mass and all
+    parameter grads via moment matmuls (TPU analog of backward.cu:503-533)."""
     t = pl.program_id(0)
     k = xy_ref.shape[1]
     p = tile_x * tile_y
-    rows = p // LANE
-    pixx, pixy = _pixel_coords(t, tiles_x, tile_x, tile_y, rows)
+    nb = k // block
+    g_mat, px, py = _pixel_monomials(t, tiles_x, tile_x, tile_y, p)
 
-    t_final = ft_ref[0]
-    g_t_term = gft_ref[0] * t_final  # g_T * T_N, constant across slots
+    xy = xy_ref[0]
+    con = con_ref[0]
+    op = op_ref[0]
+    col = col_ref[0]
+    f_mat = _quadratic_coeffs(xy, con)
+    power = jnp.dot(f_mat, g_mat, preferred_element_type=jnp.float32)
+    a_eff, ok, raw = _alphas(power, op, live_ref[0])
+    log1m = jnp.log(jnp.maximum(1.0 - a_eff, LOG_EPS))
 
-    def body(j, carry):
-        i = k - 1 - j
-        t_after, s_dot = carry  # s_dot = sum_c g_c * S_c (suffix color mass)
-        x = xy_ref[0, i, 0]
-        y = xy_ref[0, i, 1]
-        ca = con_ref[0, i, 0]
-        cb = con_ref[0, i, 1]
-        cc = con_ref[0, i, 2]
-        op = op_ref[0, 0, i]
-        lv = live_ref[0, 0, i]
+    lt = _tri_lower(block)
+    # forward sweep: per-block log-carry starts
+    carries = [jnp.zeros((1, p), jnp.float32)]
+    for b in range(nb):
+        sl = slice(b * block, (b + 1) * block)
+        carries.append(carries[-1] + jnp.sum(log1m[sl], axis=0, keepdims=True))
+    t_final = jnp.exp(carries[-1])
 
-        dx = x - pixx
-        dy = y - pixy
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        raw_alpha = op * jnp.exp(power)
-        alpha = jnp.minimum(0.99, raw_alpha)
-        ok = (power <= 0.0) & (alpha >= 1.0 / 255.0) & (lv > 0.5)
-        a_eff = jnp.where(ok, alpha, 0.0)
+    gacc = gacc_ref[0]                                               # (C,P)
+    gdotcol = jnp.dot(col, gacc, preferred_element_type=jnp.float32)  # (K,P)
+    g_t_term = gft_ref[0] * t_final                                   # (1,P)
 
-        one_minus = 1.0 - a_eff                       # >= 0.01 where ok
-        t_before = t_after / one_minus
-        alive_px = t_before >= 1e-4
-        w = a_eff * t_before * alive_px
+    # per-pixel moment basis for grad reductions: Gm^T = [1, px, py]
+    gm = jnp.concatenate([jnp.ones_like(px), px, py], axis=0)         # (3,P)
 
-        gdotcol = jnp.zeros((rows, LANE), jnp.float32)
-        for c in range(channels):
-            gdotcol += gacc_ref[0, c] * col_ref[0, i, c]
+    x = xy[:, 0:1]
+    y = xy[:, 1:2]
+    ca = con[:, 0:1]
+    cb = con[:, 1:2]
+    cc = con[:, 2:3]
 
-        # dL/da_i = (sum_c g_c col_ic) T_i [alive] - (sum_c g_c S_ic + g_T T_N)/(1-a_i)
-        da = gdotcol * t_before * alive_px - (s_dot + g_t_term) / one_minus
-        da = jnp.where(ok, da, 0.0)
-        not_clamped = raw_alpha < 0.99
-        dop = jnp.where(not_clamped, da * jnp.exp(power), 0.0)
-        dpower = jnp.where(not_clamped, da * alpha, 0.0)
+    s_dot = jnp.zeros((1, p), jnp.float32)
+    parts = {}
 
-        dca = jnp.sum(dpower * (-0.5) * dx * dx)
-        dcc = jnp.sum(dpower * (-0.5) * dy * dy)
-        dcb = jnp.sum(dpower * (-dx * dy))
-        # d power / d x = -(ca dx + cb dy); (dx = x - pixx)
-        dxg = jnp.sum(dpower * -(ca * dx + cb * dy))
-        dyg = jnp.sum(dpower * -(cc * dy + cb * dx))
+    su = _tri_lower(block).T  # strictly upper: row i sums j > i
 
-        dxy_ref[0, i, 0] = dxg
-        dxy_ref[0, i, 1] = dyg
-        dcon_ref[0, i, 0] = dca
-        dcon_ref[0, i, 1] = dcb
-        dcon_ref[0, i, 2] = dcc
-        dop_ref[0, 0, i] = jnp.sum(dop)
-        for c in range(channels):
-            dcol_ref[0, i, c] = jnp.sum(gacc_ref[0, c] * w)
+    for b in range(nb - 1, -1, -1):
+        sl = slice(b * block, (b + 1) * block)
+        l_blk = log1m[sl]
+        excl = jnp.dot(lt, l_blk, preferred_element_type=jnp.float32)
+        t_before = jnp.exp(carries[b] + excl)                        # (B,P)
+        alive = t_before >= 1e-4
+        a_blk = a_eff[sl]
+        w = a_blk * t_before * alive
+        q = gdotcol[sl] * w                                          # (B,P)
+        # suffix within block (j > i) + suffix from later blocks (s_dot)
+        s_blk = jnp.dot(su, q, preferred_element_type=jnp.float32) + s_dot
 
-        s_dot = s_dot + gdotcol * w
-        return t_before, s_dot
+        one_minus = jnp.maximum(1.0 - a_blk, 0.01)
+        da = gdotcol[sl] * t_before * alive - (s_blk + g_t_term) / one_minus
+        not_clamped = raw[sl] < 0.99
+        da = jnp.where(ok[sl] & not_clamped, da, 0.0)
+        dpower = da * a_blk                                          # (B,P)
 
-    jax.lax.fori_loop(0, k, body,
-                      (t_final, jnp.zeros((rows, LANE), jnp.float32)))
+        dop_blk = jnp.sum(jnp.where(ok[sl] & not_clamped,
+                                    da * jnp.exp(power[sl]), 0.0), axis=1, keepdims=True)
+        m = jnp.dot(dpower, gm.T, preferred_element_type=jnp.float32)  # (B,3): [m0, mx, my]
+        m2 = jnp.dot(dpower, (gm * gm[1:2]).T, preferred_element_type=jnp.float32)
+        # m2 columns: [sum dp*px, sum dp*px^2, sum dp*px*py]
+        m3 = jnp.dot(dpower, (gm * gm[2:3]).T, preferred_element_type=jnp.float32)
+        # m3 columns: [sum dp*py, sum dp*px*py, sum dp*py^2]
+        m0 = m[:, 0:1]
+        mx = m[:, 1:2]
+        my = m[:, 2:3]
+        mxx = m2[:, 1:2]
+        mxy = m2[:, 2:3]
+        myy = m3[:, 2:3]
+
+        xb, yb = x[sl], y[sl]
+        cab, cbb, ccb = ca[sl], cb[sl], cc[sl]
+        # dca = sum dp * (-.5)(x-px)^2 = -.5 (x^2 m0 - 2 x mx + mxx)
+        dca = -0.5 * (xb * xb * m0 - 2 * xb * mx + mxx)
+        dcc = -0.5 * (yb * yb * m0 - 2 * yb * my + myy)
+        dcb = -(xb * yb * m0 - xb * my - yb * mx + mxy)
+        # dpower/dx = -(ca (x-px) + cb (y-py))
+        dxg = -(cab * (xb * m0 - mx) + cbb * (yb * m0 - my))
+        dyg = -(ccb * (yb * m0 - my) + cbb * (xb * m0 - mx))
+
+        parts[b] = (
+            jnp.concatenate([dxg, dyg], axis=1),
+            jnp.concatenate([dca, dcb, dcc], axis=1),
+            dop_blk,
+            jnp.dot(w, gacc.T, preferred_element_type=jnp.float32),
+        )
+        s_dot = s_dot + jnp.sum(q, axis=0, keepdims=True)
+
+    order = list(range(nb))
+    dxy_ref[0] = jnp.concatenate([parts[b][0] for b in order], axis=0)
+    dcon_ref[0] = jnp.concatenate([parts[b][1] for b in order], axis=0)
+    dop_ref[0] = jnp.concatenate([parts[b][2] for b in order], axis=0)
+    dcol_ref[0] = jnp.concatenate([parts[b][3] for b in order], axis=0)
+
+
+def _block(*shape):
+    return pl.BlockSpec((1,) + shape, lambda t: (t,) + (0,) * len(shape),
+                        memory_space=pltpu.VMEM)
 
 
 def _run_fwd(xy, con, op, col, dep, live, tiles_x, tile_x, tile_y):
     num_tiles, k = op.shape
     channels = col.shape[-1]
     p = tile_x * tile_y
-    rows = p // LANE
-    kern = functools.partial(_fwd_kernel, tiles_x, tile_x, tile_y, channels)
-    block = lambda *shape: pl.BlockSpec((1,) + shape, lambda t: (t,) + (0,) * len(shape),
-                                        memory_space=pltpu.VMEM)
-    # (T,K) vectors carry a dummy middle axis: Mosaic requires the last two
-    # block dims to tile (8,128) or equal the array dims
+    assert p % LANE == 0, p
+    block = min(BLOCK, k)
+    assert k % block == 0, (k, block)
+    kern = functools.partial(_fwd_kernel, tiles_x, tile_x, tile_y, channels, block)
     return pl.pallas_call(
         kern,
         grid=(num_tiles,),
         interpret=_interpret(),
-        in_specs=[block(k, 2), block(k, 3), block(1, k), block(k, channels),
-                  block(1, k), block(1, k)],
-        out_specs=(block(channels, rows, LANE), block(rows, LANE), block(rows, LANE)),
+        in_specs=[_block(k, 2), _block(k, 3), _block(k, 1), _block(k, channels),
+                  _block(k, 1), _block(k, 1)],
+        out_specs=(_block(channels, p), _block(1, p), _block(1, p)),
         out_shape=(
-            jax.ShapeDtypeStruct((num_tiles, channels, rows, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, rows, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, rows, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, channels, p), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, 1, p), jnp.float32),
         ),
-    )(xy, con, op[:, None], col, dep[:, None], live[:, None])
+    )(xy, con, op[..., None], col, dep[..., None], live[..., None])
 
 
-def _run_bwd(xy, con, op, col, dep, live, ft, gacc, gft, tiles_x, tile_x, tile_y):
+def _run_bwd(xy, con, op, col, dep, live, gacc, gft, tiles_x, tile_x, tile_y):
     num_tiles, k = op.shape
     channels = col.shape[-1]
     p = tile_x * tile_y
-    rows = p // LANE
-    kern = functools.partial(_bwd_kernel, tiles_x, tile_x, tile_y, channels)
-    block = lambda *shape: pl.BlockSpec((1,) + shape, lambda t: (t,) + (0,) * len(shape),
-                                        memory_space=pltpu.VMEM)
-    op, dep, live = op[:, None], dep[:, None], live[:, None]
+    block = min(BLOCK, k)
+    kern = functools.partial(_bwd_kernel, tiles_x, tile_x, tile_y, channels, block)
     return pl.pallas_call(
         kern,
         grid=(num_tiles,),
         interpret=_interpret(),
-        in_specs=[block(k, 2), block(k, 3), block(1, k), block(k, channels),
-                  block(1, k), block(1, k),
-                  block(rows, LANE), block(channels, rows, LANE), block(rows, LANE)],
-        out_specs=(block(k, 2), block(k, 3), block(1, k), block(k, channels)),
+        in_specs=[_block(k, 2), _block(k, 3), _block(k, 1), _block(k, channels),
+                  _block(k, 1), _block(k, 1),
+                  _block(channels, p), _block(1, p)],
+        out_specs=(_block(k, 2), _block(k, 3), _block(k, 1), _block(k, channels)),
         out_shape=(
             jax.ShapeDtypeStruct((num_tiles, k, 2), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles, k, 3), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, 1, k), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, k, 1), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles, k, channels), jnp.float32),
         ),
-    )(xy, con, op, col, dep, live, ft, gacc, gft)
-
-
-def _run_bwd_squeezed(*args, **kwargs):
-    dxy, dcon, dop, dcol = _run_bwd(*args, **kwargs)
-    return dxy, dcon, dop[:, 0], dcol
+    )(xy, con, op[..., None], col, dep[..., None], live[..., None], gacc, gft)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
@@ -228,24 +288,24 @@ def composite_tiles(xy, con, op, col, dep, live, tiles_x, tile_x, tile_y):
 
     xy (T,K,2), con (T,K,3), op (T,K), col (T,K,C), dep (T,K) are the
     PRE-GATHERED per-tile Gaussian params (depth-sorted); live (T,K) f32 mask.
-    Returns (accum (T,C,P_rows,128), final_T (T,P_rows,128), med (...)).
-    Differentiable in xy/con/op/col; dep and live are treated as constants
-    (the reference backward also ignores depth/ordering grads).
+    Returns (accum (T,C,P), final_T (T,1,P), med (T,1,P)) with P row-major
+    over (tile_y, tile_x). Differentiable in xy/con/op/col; dep and live are
+    constants (the reference backward also ignores depth/ordering grads).
     """
     return _run_fwd(xy, con, op, col, dep, live, tiles_x, tile_x, tile_y)
 
 
 def _composite_fwd(xy, con, op, col, dep, live, tiles_x, tile_x, tile_y):
     out = _run_fwd(xy, con, op, col, dep, live, tiles_x, tile_x, tile_y)
-    return out, (xy, con, op, col, dep, live, out[1])
+    return out, (xy, con, op, col, dep, live)
 
 
 def _composite_bwd(tiles_x, tile_x, tile_y, res, g):
-    xy, con, op, col, dep, live, ft = res
+    xy, con, op, col, dep, live = res
     gacc, gft, _gmed = g
-    dxy, dcon, dop, dcol = _run_bwd_squeezed(xy, con, op, col, dep, live, ft,
-                                             gacc, gft, tiles_x, tile_x, tile_y)
-    return dxy, dcon, dop, dcol, jnp.zeros_like(dep), jnp.zeros_like(live)
+    dxy, dcon, dop, dcol = _run_bwd(xy, con, op, col, dep, live,
+                                    gacc, gft, tiles_x, tile_x, tile_y)
+    return dxy, dcon, dop[..., 0], dcol, jnp.zeros_like(dep), jnp.zeros_like(live)
 
 
 composite_tiles.defvjp(_composite_fwd, _composite_bwd)

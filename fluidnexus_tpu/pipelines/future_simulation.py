@@ -44,7 +44,8 @@ def predict(cfg: Config, scene_info=None, log=print, save_renders: bool = True):
     o, m = cfg.optim, cfg.model
     params = pbf_params_from_config(cfg)
     raster_cfg = RasterizerConfig(tile_capacity=cfg.pipe.tile_capacity, dup_x=cfg.pipe.dup_x,
-                                  dup_y=cfg.pipe.dup_y, chunk=cfg.pipe.chunk)
+                                  dup_y=cfg.pipe.dup_y, chunk=cfg.pipe.chunk,
+                                  backend=cfg.pipe.backend)
     rng = np.random.default_rng(cfg.seed)
     if scene_info is None:
         scene_info = read_scene(cfg)

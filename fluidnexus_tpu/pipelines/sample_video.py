@@ -1,0 +1,84 @@
+"""Generic video sampling CLI (t2v / i2v).
+
+Parity target: CogVideoX/sample_video.py — sample clips from a text prompt,
+optionally conditioned on prefix frames (i2v), without the long-video
+chaining machinery of gen_refine_video.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fluidnexus_tpu.core.checkpoint import load_params
+from fluidnexus_tpu.diffusion.video.conditioner import make_text_encoder
+from fluidnexus_tpu.diffusion.video.dit import VideoDiTConfig
+from fluidnexus_tpu.diffusion.video.engine import VideoEngine
+from fluidnexus_tpu.diffusion.video.vae3d import VAE3DConfig
+from fluidnexus_tpu.pipelines.gen_refine_video import latent_prefix_len, load_frames, save_frames
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="sample a video clip (t2v/i2v)")
+    ap.add_argument("--prompt", required=True)
+    ap.add_argument("--out_folder", required=True)
+    ap.add_argument("--prefix_folder", default="", help="i2v prefix frames (optional)")
+    ap.add_argument("--prefix_frames", type=int, default=0)
+    ap.add_argument("--prefix_pattern", default="%03d.png")
+    ap.add_argument("--num_frames", type=int, default=49)
+    ap.add_argument("--num_steps", type=int, default=50)
+    ap.add_argument("--cfg_scale", type=float, default=6.0)
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--width", type=int, default=720)
+    ap.add_argument("--dit_ckpt", default="")
+    ap.add_argument("--vae_ckpt", default="")
+    ap.add_argument("--t5_dir", default="")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--tiny", action="store_true")
+    args = ap.parse_args(argv)
+
+    lat_t = (args.num_frames - 1) // 4 + 1
+    if args.tiny:
+        dit_cfg = VideoDiTConfig(hidden_size=64, num_layers=2, num_heads=4,
+                                 text_hidden_size=64, text_length=8, latent_frames=lat_t,
+                                 latent_height=args.height // 8, latent_width=args.width // 8,
+                                 dtype=jnp.float32)
+        vae_cfg = VAE3DConfig(ch=16, ch_mult=(1, 2, 2, 4), num_res_blocks=1)
+        txt_hidden = 64
+    else:
+        dit_cfg = VideoDiTConfig(latent_frames=lat_t, latent_height=args.height // 8,
+                                 latent_width=args.width // 8)
+        vae_cfg = VAE3DConfig()
+        txt_hidden = dit_cfg.text_hidden_size
+
+    engine = VideoEngine(dit_cfg, vae_cfg, cfg_scale=args.cfg_scale)
+    params = load_params(args.dit_ckpt) if args.dit_ckpt else engine.init_params(jax.random.PRNGKey(0))
+    vae_params = load_params(args.vae_ckpt) if args.vae_ckpt else engine.init_vae_params(
+        jax.random.PRNGKey(1), frames=5, height=args.height, width=args.width)
+    enc = make_text_encoder(args.t5_dir or None, max_length=dit_cfg.text_length, hidden=txt_hidden)
+    text_emb = enc([args.prompt])
+    uc = jnp.zeros_like(text_emb)
+
+    rng = jax.random.PRNGKey(args.seed)
+    prefix_lat = None
+    if args.prefix_folder and args.prefix_frames > 0:
+        frames = load_frames(args.prefix_folder, range(args.prefix_frames),
+                             args.prefix_pattern, args.height, args.width)
+        rng, k = jax.random.split(rng)
+        z = engine.encode_first_stage(vae_params, jnp.asarray(frames)[None], k)
+        prefix_lat = jnp.transpose(z, (0, 1, 4, 2, 3))[:, :latent_prefix_len(args.prefix_frames)]
+
+    shape = (1, lat_t, dit_cfg.in_channels, dit_cfg.latent_height, dit_cfg.latent_width)
+    rng, k = jax.random.split(rng)
+    lat = engine.sample(params, shape, text_emb, uc, rng=k, num_steps=args.num_steps,
+                        prefix_clean_frames=prefix_lat)
+    decoded = engine.decode_first_stage(vae_params, jnp.transpose(lat, (0, 1, 3, 4, 2)))
+    save_frames(args.out_folder, np.asarray(decoded[0]), 0)
+    print(f"wrote {decoded.shape[1]} frames to {args.out_folder}")
+
+
+if __name__ == "__main__":
+    main()

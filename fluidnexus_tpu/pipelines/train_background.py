@@ -112,7 +112,7 @@ def train(cfg: Config, scene_info: SceneInfo, writer=None,
     )
     raster_cfg = RasterizerConfig(
         tile_capacity=cfg.pipe.tile_capacity, dup_x=cfg.pipe.dup_x, dup_y=cfg.pipe.dup_y,
-        chunk=cfg.pipe.chunk,
+        chunk=cfg.pipe.chunk, backend=cfg.pipe.backend,
     )
 
     cams = scene_info.train_cameras

@@ -208,12 +208,15 @@ def _gts(cams: List[Camera], channels: int):
     return jnp.asarray(np.stack(out))
 
 
-def train(cfg: Config, scene_info=None, writer=None, log=print):
+def train(cfg: Config, scene_info=None, writer=None, log=print, resume_from_frame: int = -1):
+    """resume_from_frame >= 1 restarts phase C at that frame from the saved
+    per-frame checkpoint (the reference cannot resume — SURVEY §5; here the
+    npy format round-trips losslessly)."""
     o, m = cfg.optim, cfg.model
     params = pbf_params_from_config(cfg)
     raster_cfg = RasterizerConfig(
         tile_capacity=cfg.pipe.tile_capacity, dup_x=cfg.pipe.dup_x, dup_y=cfg.pipe.dup_y,
-        chunk=cfg.pipe.chunk,
+        chunk=cfg.pipe.chunk, backend=cfg.pipe.backend,
     )
     rng = np.random.default_rng(cfg.seed)
 
@@ -235,6 +238,17 @@ def train(cfg: Config, scene_info=None, writer=None, log=print):
 
     model_path = m.model_path
     ckpt_path = os.path.join(model_path, "checkpoint") if model_path else None
+
+    if resume_from_frame >= 1:
+        from fluidnexus_tpu.splat.dynamics import load_hidden, load_visual
+
+        state = load_hidden(ckpt_path, resume_from_frame - 1, m.hidden_capacity, params)
+        visual, attrs = load_visual(ckpt_path, resume_from_frame - 1, m.visual_capacity,
+                                    channels=1)
+        log(f"resumed from frame {resume_from_frame - 1}: "
+            f"hidden={int(state.num_alive)} visual={int(visual.num_alive)}")
+        return _phase_c(cfg, scene_info, state, visual, attrs, bg, raster_cfg, params,
+                        rng, writer, log, ckpt_path, start_frame=resume_from_frame)
 
     # ---------------- phase A: first-frame visual fit (ref :82-184) ----------
     vis_pts = create_visual_points(m, rng)
@@ -281,7 +295,22 @@ def train(cfg: Config, scene_info=None, writer=None, log=print):
         save_hidden(state, params, ckpt_path, 0)
         save_visual(visual, attrs, ckpt_path, 0)
 
-    # ---------------- phase C: per-frame simulate + fit (ref :244-469) -------
+    return _phase_c(cfg, scene_info, state, visual, attrs, bg, raster_cfg, params,
+                    rng, writer, log, ckpt_path, start_frame=1)
+
+
+def _phase_c(cfg, scene_info, state, visual, attrs, bg, raster_cfg, params,
+             rng, writer, log, ckpt_path, start_frame=1):
+    """Phase C: per-frame simulate + fit (ref :244-469)."""
+    o, m = cfg.optim, cfg.model
+    train_by_t = cameras_by_time(scene_info.train_cameras)
+    test_by_t = cameras_by_time(scene_info.test_cameras)
+    n_frames = len(train_by_t)
+    cam0 = train_by_t[0][0]
+    width, height = cam0.width, cam0.height
+    channels = 3
+    extent = scene_info.nerf_normalization["radius"]
+
     emitters = EmitterPoints.from_config(m)
     stepC = make_current_frame_step(bg, raster_cfg, width, height, params, o, channels)
     metrics_per_frame = []
@@ -291,7 +320,7 @@ def train(cfg: Config, scene_info=None, writer=None, log=print):
         max(int(m.visual_capacity * max(o.extra_visual_ratio, 0.02)), o.extra_visual_num,
             o.extra_visual_min_num, 64)
 
-    for t in range(1, n_frames):
+    for t in range(start_frame, n_frames):
         state = remove_invalid(state, params)
         use_wind = o.wind_since >= 0 and t >= o.wind_since
 
@@ -346,8 +375,16 @@ def train(cfg: Config, scene_info=None, writer=None, log=print):
         visual = visual._replace(xyz=jnp.where(visual.alive[:, None], new_visual_xyz, visual.xyz))
         state = confirm_guess(state, params)
 
-        metrics_per_frame.append({"frame": t, "loss": float(loss),
-                                  "hidden": int(state.num_alive), "visual": int(visual.num_alive)})
+        frame_metrics = {"frame": t, "loss": float(loss),
+                         "hidden": int(state.num_alive), "visual": int(visual.num_alive)}
+        # held-out evaluation (training_report parity, ref :588-741)
+        if test_by_t.get(t):
+            ev = evaluate_frame(visual, attrs, bg, test_by_t[t], raster_cfg)
+            frame_metrics.update(ev)
+            if writer:
+                for k, v in ev.items():
+                    writer.add_scalar(f"test_frame_{t:03d}/{k}", v, t)
+        metrics_per_frame.append(frame_metrics)
         log(f"frame {t}/{n_frames-1}: loss={float(loss):.5f} "
             f"hidden={int(state.num_alive)} visual={int(visual.num_alive)}")
         if ckpt_path:
@@ -385,6 +422,15 @@ def evaluate_frame(visual: VisualState, attrs: VisualAttrs, bg, cams: List[Camer
 
 
 def main(argv=None):
+    import sys
+
+    resume = -1
+    if argv is None:
+        argv = sys.argv[1:]
+    if "--resume_from_frame" in argv:
+        i = argv.index("--resume_from_frame")
+        resume = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
     cfg = parse_cli(argv, description="train physical particles")
     if cfg.model.model_path:
         dump_config(cfg, os.path.join(cfg.model.model_path, "cfg_args.json"))
@@ -396,7 +442,7 @@ def main(argv=None):
             writer = SummaryWriter(cfg.model.model_path)
         except ImportError:
             pass
-    result = train(cfg, writer=writer)
+    result = train(cfg, writer=writer, resume_from_frame=resume)
     print(f"done: {len(result['metrics'])} frames")
 
 

@@ -109,7 +109,8 @@ def make_level_two_step(bg, raster_cfg, width, height, o, fit_fields):
 def train(cfg: Config, scene_info=None, log=print):
     o, m = cfg.optim, cfg.model
     raster_cfg = RasterizerConfig(tile_capacity=cfg.pipe.tile_capacity, dup_x=cfg.pipe.dup_x,
-                                  dup_y=cfg.pipe.dup_y, chunk=cfg.pipe.chunk)
+                                  dup_y=cfg.pipe.dup_y, chunk=cfg.pipe.chunk,
+                                  backend=cfg.pipe.backend)
     rng = np.random.default_rng(cfg.seed)
     if scene_info is None:
         scene_info = read_scene(cfg)

@@ -69,6 +69,15 @@ def psnr(img1, img2):
     return 20.0 * jnp.log10(1.0 / jnp.sqrt(jnp.maximum(mse, 1e-12)))
 
 
+def psnr_mask(img1, img2, threshold: float = 0.01):
+    """PSNR over pixels where the target has content — channel-sum of img2
+    above threshold (image_utils.psnr_mask:13-19). Images (C,H,W)."""
+    valid = jnp.sum(img2, axis=0) > threshold
+    se = ((img1 - img2) ** 2).mean(0)
+    mse = jnp.sum(jnp.where(valid, se, 0.0)) / jnp.maximum(valid.sum(), 1)
+    return 20.0 * jnp.log10(1.0 / jnp.sqrt(jnp.maximum(mse, 1e-12)))
+
+
 def distance_loss(positions, threshold, alive=None):
     """Min-separation penalty: sum of (threshold - d)^2 over pairs closer than
     threshold, excluding self pairs (loss_utils.py:98-121).
