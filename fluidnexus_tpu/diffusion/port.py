@@ -229,3 +229,67 @@ def port_kl_vae(sd: Dict[str, np.ndarray], cfg) -> Dict:
     return {"encoder": enc, "decoder": dec,
             "quant_conv": conv("quant_conv"),
             "post_quant_conv": conv("post_quant_conv")}
+
+
+# --------------------- CogVideoX causal 3D VAE name mapping -------------------
+
+
+def port_video_vae(sd: Dict[str, np.ndarray], cfg) -> Dict:
+    """Map the CogVideoX context-parallel causal VAE state dict
+    (vae_modules/cp_enc_dec.py ContextParallelEncoder3D:718 /
+    ContextParallelDecoder3D:841) onto
+    fluidnexus_tpu.diffusion.video.vae3d.VideoVAE's tree. Checkpoint keys
+    typically live under 'first_stage_model.' — strip first. Validated by
+    forward equivalence against the reference torch modules
+    (tests/test_port_unet.py)."""
+
+    def cconv(tp):  # CausalConv3d -> {"conv": {...}}
+        return {"conv": {"kernel": t2f_conv3d(sd[tp + ".conv.weight"]),
+                         "bias": np.asarray(sd[tp + ".conv.bias"])}}
+
+    def conv2d(tp):
+        return {"conv": {"kernel": t2f_conv2d(sd[tp + ".weight"]),
+                         "bias": np.asarray(sd[tp + ".bias"])}}
+
+    def norm(tp, zq):
+        if zq:  # SpatialNorm3D (cp_enc_dec.py:453)
+            return {"scale": np.asarray(sd[tp + ".norm_layer.weight"]),
+                    "bias": np.asarray(sd[tp + ".norm_layer.bias"]),
+                    "conv_y": cconv(tp + ".conv_y"),
+                    "conv_b": cconv(tp + ".conv_b")}
+        return {"scale": np.asarray(sd[tp + ".weight"]),
+                "bias": np.asarray(sd[tp + ".bias"])}
+
+    def res(tp, zq):
+        r = {"norm1": norm(tp + ".norm1", zq), "conv1": cconv(tp + ".conv1"),
+             "norm2": norm(tp + ".norm2", zq), "conv2": cconv(tp + ".conv2")}
+        if tp + ".nin_shortcut.weight" in sd:  # plain Conv3d 1x1x1 -> Dense
+            w = np.asarray(sd[tp + ".nin_shortcut.weight"])[:, :, 0, 0, 0]
+            r["nin_shortcut"] = {"kernel": t2f_linear(w),
+                                 "bias": np.asarray(sd[tp + ".nin_shortcut.bias"])}
+        return r
+
+    n_levels = len(cfg.ch_mult)
+    enc: Dict = {"conv_in": cconv("encoder.conv_in"),
+                 "mid_block_1": res("encoder.mid.block_1", False),
+                 "mid_block_2": res("encoder.mid.block_2", False),
+                 "norm_out": norm("encoder.norm_out", False),
+                 "conv_out": cconv("encoder.conv_out")}
+    for i in range(n_levels):
+        for j in range(cfg.num_res_blocks):
+            enc[f"down_{i}_block_{j}"] = res(f"encoder.down.{i}.block.{j}", False)
+        if i != n_levels - 1:
+            enc[f"down_{i}_downsample"] = conv2d(f"encoder.down.{i}.downsample.conv")
+
+    dec: Dict = {"conv_in": cconv("decoder.conv_in"),
+                 "mid_block_1": res("decoder.mid.block_1", True),
+                 "mid_block_2": res("decoder.mid.block_2", True),
+                 "norm_out": norm("decoder.norm_out", True),
+                 "conv_out": cconv("decoder.conv_out")}
+    for i in range(n_levels):
+        for j in range(cfg.num_res_blocks + 1):
+            dec[f"up_{i}_block_{j}"] = res(f"decoder.up.{i}.block.{j}", True)
+        if i != 0:
+            dec[f"up_{i}_upsample"] = conv2d(f"decoder.up.{i}.upsample.conv")
+
+    return {"encoder": enc, "decoder": dec}

@@ -51,7 +51,6 @@ def test_unet_port_forward_equivalence():
     params = port_zero123_unet(sd, cfg)
 
     rng = np.random.default_rng(0)
-    x = rng.normal(size=(2, 3 + 5, 8, 16, 16)).astype(np.float32)[:, :8]  # (B,8,16,16)
     x = rng.normal(size=(2, 8, 16, 16)).astype(np.float32)
     t = np.array([7, 443], np.int64)
     ctx = rng.normal(size=(2, 1, 16)).astype(np.float32)
@@ -115,3 +114,82 @@ def test_kl_vae_port_forward_equivalence():
         np.asarray(z).transpose(0, 3, 1, 2), mean.numpy(), atol=2e-4, rtol=1e-3)
     np.testing.assert_allclose(
         np.asarray(got).transpose(0, 3, 1, 2), recon, atol=5e-4, rtol=1e-3)
+
+
+def _import_reference_video_vae():
+    import torch
+    import torch.distributed as dist
+    import os
+
+    if not dist.is_initialized():
+        os.environ.setdefault("MASTER_ADDR", "127.0.0.1")
+        os.environ.setdefault("MASTER_PORT", "29571")
+        dist.init_process_group("gloo", rank=0, world_size=1)
+    import typing
+
+    bt = types.ModuleType("beartype")
+    bt.beartype = lambda f=None, *a, **k: (f if f is not None else (lambda g: g))
+    bt_t = types.ModuleType("beartype.typing")
+    bt_t.Union = typing.Union
+    bt_t.Tuple = typing.Tuple
+    bt_t.Optional = typing.Optional
+    bt_t.List = typing.List
+    sys.modules.setdefault("beartype", bt)
+    sys.modules.setdefault("beartype.typing", bt_t)
+    sgm = types.ModuleType("sgm")
+    sgm.__path__ = []
+    util = types.ModuleType("sgm.util")
+    util.get_context_parallel_group = lambda: None
+    util.get_context_parallel_group_rank = lambda: 0
+    util.get_context_parallel_rank = lambda: 0
+    util.get_context_parallel_world_size = lambda: 1
+    sys.modules.setdefault("sgm", sgm)
+    sys.modules.setdefault("sgm.util", util)
+    if "/root/reference/CogVideoX" not in sys.path:
+        sys.path.insert(0, "/root/reference/CogVideoX")
+    from vae_modules.cp_enc_dec import ContextParallelDecoder3D, ContextParallelEncoder3D
+
+    return ContextParallelEncoder3D, ContextParallelDecoder3D
+
+
+@pytest.mark.slow
+def test_video_vae_port_forward_equivalence():
+    import jax.numpy as jnp
+    import torch
+
+    from fluidnexus_tpu.diffusion.port import port_video_vae
+    from fluidnexus_tpu.diffusion.video.vae3d import VAE3DConfig, VideoVAE
+
+    Enc, Dec = _import_reference_video_vae()
+    torch.manual_seed(0)
+    kw = dict(ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=[],
+              in_channels=3, resolution=32, z_channels=4, double_z=True,
+              temporal_compress_times=2)
+    enc = Enc(**kw).eval()
+    dec = Dec(**{k: v for k, v in kw.items() if k != "double_z"}).eval()
+
+    sd = {}
+    for k, v in enc.state_dict().items():
+        sd["encoder." + k] = v.detach().numpy()
+    for k, v in dec.state_dict().items():
+        sd["decoder." + k] = v.detach().numpy()
+
+    cfg = VAE3DConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=4,
+                      temporal_compress_times=2, scale_factor=1.0)
+    params = port_video_vae(sd, cfg)
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(1, 3, 5, 16, 16)).astype(np.float32)  # torch NCTHW
+    with torch.no_grad():
+        moments = enc(torch.from_numpy(x))
+        mean = moments[:, :4]
+        recon = dec(mean).numpy()
+
+    model = VideoVAE(cfg)
+    x_j = jnp.asarray(x.transpose(0, 2, 3, 4, 1))  # NTHWC
+    z, _ = model.apply({"params": params}, x_j, method=model.encode, mutable=["cache"])
+    got, _ = model.apply({"params": params}, z, method=model.decode, mutable=["cache"])
+    np.testing.assert_allclose(
+        np.asarray(z).transpose(0, 4, 1, 2, 3), mean.numpy(), atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 4, 1, 2, 3), recon, atol=2e-3, rtol=1e-2)
