@@ -293,3 +293,65 @@ def port_video_vae(sd: Dict[str, np.ndarray], cfg) -> Dict:
             dec[f"up_{i}_upsample"] = conv2d(f"decoder.up.{i}.upsample.conv")
 
     return {"encoder": enc, "decoder": dec}
+
+
+# ---------------------- OpenAI CLIP visual tower mapping ----------------------
+
+
+def port_openai_clip_visual(sd: Dict[str, np.ndarray], layers: int) -> Dict:
+    """Map an OpenAI CLIP `model.visual.*` state dict (the reference's
+    FrozenCLIPImageEmbedder loads clip.load('ViT-L/14') —
+    Zero123/ldm/modules/encoders/modules.py:343) onto
+    fluidnexus_tpu.diffusion.ldm.clip.CLIPVisionTower. Keys are relative to
+    'visual.' (strip 'cond_stage_model.model.visual.' from the ckpt)."""
+
+    def ln(tp):
+        return {"scale": np.asarray(sd[tp + ".weight"]), "bias": np.asarray(sd[tp + ".bias"])}
+
+    p: Dict = {
+        "patch_embed": {"kernel": t2f_conv2d(sd["conv1.weight"])},
+        "class_embedding": np.asarray(sd["class_embedding"]),
+        "positional_embedding": np.asarray(sd["positional_embedding"]),
+        "ln_pre": ln("ln_pre"),
+        "ln_post": ln("ln_post"),
+        "proj": np.asarray(sd["proj"]),
+    }
+    for i in range(layers):
+        tb = f"transformer.resblocks.{i}"
+        p[f"ln1_{i}"] = ln(tb + ".ln_1")
+        p[f"ln2_{i}"] = ln(tb + ".ln_2")
+        p[f"attn_{i}"] = {
+            "qkv": {"kernel": t2f_linear(sd[tb + ".attn.in_proj_weight"]),
+                    "bias": np.asarray(sd[tb + ".attn.in_proj_bias"])},
+            "out": {"kernel": t2f_linear(sd[tb + ".attn.out_proj.weight"]),
+                    "bias": np.asarray(sd[tb + ".attn.out_proj.bias"])},
+        }
+        p[f"mlp_fc_{i}"] = {"kernel": t2f_linear(sd[tb + ".mlp.c_fc.weight"]),
+                            "bias": np.asarray(sd[tb + ".mlp.c_fc.bias"])}
+        p[f"mlp_proj_{i}"] = {"kernel": t2f_linear(sd[tb + ".mlp.c_proj.weight"]),
+                              "bias": np.asarray(sd[tb + ".mlp.c_proj.bias"])}
+    return p
+
+
+def port_zero123_checkpoint(sd: Dict[str, np.ndarray], unet_cfg, vae_cfg,
+                            clip_layers: int = 24) -> Dict:
+    """Assemble the full NovelViewModel param tree from a Zero123/FluidNexus
+    Lightning checkpoint's flat state dict (ddpm.LatentDiffusion layout:
+    model.diffusion_model.* / first_stage_model.* /
+    cond_stage_model.model.visual.* / cc_projection.*)."""
+
+    def sub(prefix):
+        n = len(prefix)
+        return {k[n:]: v for k, v in sd.items() if k.startswith(prefix)}
+
+    unet_sd = sub("model.diffusion_model.")
+    w = unet_sd.get("input_blocks.0.0.weight")
+    if w is not None and w.shape[1] == 4:  # upstream zero123-xl 4ch ckpt
+        unet_sd["input_blocks.0.0.weight"] = port_input_conv_4to8(np.asarray(w))
+    return {
+        "unet": port_zero123_unet(unet_sd, unet_cfg),
+        "vae": port_kl_vae(sub("first_stage_model."), vae_cfg),
+        "clip": port_openai_clip_visual(sub("cond_stage_model.model.visual."), clip_layers),
+        "cc": {"kernel": t2f_linear(sd["cc_projection.weight"]),
+               "bias": np.asarray(sd["cc_projection.bias"])},
+    }

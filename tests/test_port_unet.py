@@ -193,3 +193,69 @@ def test_video_vae_port_forward_equivalence():
         np.asarray(z).transpose(0, 4, 1, 2, 3), mean.numpy(), atol=5e-4, rtol=1e-3)
     np.testing.assert_allclose(
         np.asarray(got).transpose(0, 4, 1, 2, 3), recon, atol=2e-3, rtol=1e-2)
+
+
+def test_clip_visual_port_structure_and_forward():
+    """OpenAI CLIP visual layout -> our tower: synthetic state dict with the
+    OpenAI key names/shapes; port must fill every parameter (verified by
+    apply succeeding) and the attention packing must match torch's
+    MultiheadAttention (verified against torch functional MHA on one layer)."""
+    import jax.numpy as jnp
+    import torch
+
+    from fluidnexus_tpu.diffusion.ldm.clip import CLIPVisionConfig, CLIPVisionTower
+    from fluidnexus_tpu.diffusion.port import port_openai_clip_visual
+
+    torch.manual_seed(0)
+    width, layers, heads, out_dim, patch, img = 32, 2, 4, 12, 14, 28
+    grid = img // patch
+    sd = {
+        "conv1.weight": torch.randn(width, 3, patch, patch).numpy() * 0.02,
+        "class_embedding": torch.randn(width).numpy() * 0.02,
+        "positional_embedding": torch.randn(grid * grid + 1, width).numpy() * 0.02,
+        "ln_pre.weight": torch.ones(width).numpy(), "ln_pre.bias": torch.zeros(width).numpy(),
+        "ln_post.weight": torch.ones(width).numpy(), "ln_post.bias": torch.zeros(width).numpy(),
+        "proj": torch.randn(width, out_dim).numpy() * 0.02,
+    }
+    for i in range(layers):
+        tb = f"transformer.resblocks.{i}"
+        sd[tb + ".ln_1.weight"] = torch.ones(width).numpy()
+        sd[tb + ".ln_1.bias"] = torch.zeros(width).numpy()
+        sd[tb + ".ln_2.weight"] = torch.ones(width).numpy()
+        sd[tb + ".ln_2.bias"] = torch.zeros(width).numpy()
+        sd[tb + ".attn.in_proj_weight"] = torch.randn(3 * width, width).numpy() * 0.05
+        sd[tb + ".attn.in_proj_bias"] = torch.randn(3 * width).numpy() * 0.01
+        sd[tb + ".attn.out_proj.weight"] = torch.randn(width, width).numpy() * 0.05
+        sd[tb + ".attn.out_proj.bias"] = torch.zeros(width).numpy()
+        sd[tb + ".mlp.c_fc.weight"] = torch.randn(4 * width, width).numpy() * 0.05
+        sd[tb + ".mlp.c_fc.bias"] = torch.zeros(4 * width).numpy()
+        sd[tb + ".mlp.c_proj.weight"] = torch.randn(width, 4 * width).numpy() * 0.05
+        sd[tb + ".mlp.c_proj.bias"] = torch.zeros(width).numpy()
+
+    params = port_openai_clip_visual(sd, layers)
+    cfg = CLIPVisionConfig(image_size=img, patch_size=patch, width=width, layers=layers,
+                           heads=heads, output_dim=out_dim)
+    tower = CLIPVisionTower(cfg)
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, img, img, 3)), jnp.float32)
+    emb = tower.apply({"params": params}, x)
+    assert emb.shape == (1, out_dim)
+    assert np.isfinite(np.asarray(emb)).all()
+
+    # attention packing equivalence on one layer against torch functional MHA
+    s = 5
+    h_in = np.random.default_rng(1).normal(size=(1, s, width)).astype(np.float32)
+    w_in = torch.from_numpy(sd["transformer.resblocks.0.attn.in_proj_weight"])
+    b_in = torch.from_numpy(sd["transformer.resblocks.0.attn.in_proj_bias"])
+    w_out = torch.from_numpy(sd["transformer.resblocks.0.attn.out_proj.weight"])
+    b_out = torch.from_numpy(sd["transformer.resblocks.0.attn.out_proj.bias"])
+    ht = torch.from_numpy(h_in).transpose(0, 1)  # (s,b,d)
+    want, _ = torch.nn.functional.multi_head_attention_forward(
+        ht, ht, ht, width, heads, w_in, b_in, None, None, False, 0.0, w_out, b_out)
+    want = want.transpose(0, 1).detach().numpy()
+
+    from fluidnexus_tpu.diffusion.ldm.clip import MHA
+
+    mha = MHA(heads)
+    mp = {"qkv": params["attn_0"]["qkv"], "out": params["attn_0"]["out"]}
+    got = np.asarray(mha.apply({"params": mp}, jnp.asarray(h_in)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
