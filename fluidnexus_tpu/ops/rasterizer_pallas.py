@@ -38,6 +38,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 BLOCK = 64          # Gaussians per triangular-prefix block
+TILES_PER_PROGRAM = 8      # fwd tiles per grid program (amortizes overhead)
+BWD_TILES_PER_PROGRAM = 1  # bwd holds ~1MB of (K,P) values per tile; >2 OOMs VMEM
 LOG_EPS = 1e-37     # log floor (a_eff <= 0.99 keeps log1p(-a) >= log(0.01))
 
 
@@ -88,17 +90,28 @@ def _alphas(power, op, live):
     return jnp.where(ok, alpha, 0.0), ok, raw
 
 
-def _fwd_kernel(tiles_x, tile_x, tile_y, channels, block,
+def _fwd_kernel(tiles_x, tile_x, tile_y, channels, block, tpb,
                 xy_ref, con_ref, op_ref, col_ref, dep_ref, live_ref,
                 accum_ref, ft_ref, med_ref):
-    t = pl.program_id(0)
+    k = xy_ref.shape[1]
+    p = tile_x * tile_y
+    for tl in range(tpb):
+        _fwd_one(tiles_x, tile_x, tile_y, channels, block, tl,
+                 xy_ref, con_ref, op_ref, col_ref, dep_ref, live_ref,
+                 accum_ref, ft_ref, med_ref)
+
+
+def _fwd_one(tiles_x, tile_x, tile_y, channels, block, tl,
+             xy_ref, con_ref, op_ref, col_ref, dep_ref, live_ref,
+             accum_ref, ft_ref, med_ref):
+    t = pl.program_id(0) * (xy_ref.shape[0]) + tl
     k = xy_ref.shape[1]
     p = tile_x * tile_y
     g_mat, _, _ = _pixel_monomials(t, tiles_x, tile_x, tile_y, p)
 
-    f_mat = _quadratic_coeffs(xy_ref[0], con_ref[0])
+    f_mat = _quadratic_coeffs(xy_ref[tl], con_ref[tl])
     power = jnp.dot(f_mat, g_mat, preferred_element_type=jnp.float32)  # (K,P)
-    a_eff, ok, _ = _alphas(power, op_ref[0], live_ref[0])
+    a_eff, ok, _ = _alphas(power, op_ref[tl], live_ref[tl])
     log1m = jnp.log(jnp.maximum(1.0 - a_eff, LOG_EPS))
 
     lt = _tri_lower(block)
@@ -115,37 +128,47 @@ def _fwd_kernel(tiles_x, tile_x, tile_y, channels, block,
         t_before = jnp.exp(log_before)
         t_after = jnp.exp(log_before + l_blk)
         w = a_eff[sl] * t_before * (t_before >= 1e-4)
-        accum += jnp.dot(col_ref[0][sl].T, w, preferred_element_type=jnp.float32)
+        accum += jnp.dot(col_ref[tl][sl].T, w, preferred_element_type=jnp.float32)
         cross = ((t_before > 0.5) & (t_after < 0.5) & ok[sl]).astype(jnp.float32)
-        med_num += jnp.dot(dep_ref[0][sl].T, cross, preferred_element_type=jnp.float32)
+        med_num += jnp.dot(dep_ref[tl][sl].T, cross, preferred_element_type=jnp.float32)
         med_any += jnp.sum(cross, axis=0, keepdims=True)
         log_t = log_t + jnp.sum(l_blk, axis=0, keepdims=True)
 
-    accum_ref[0] = accum
-    ft_ref[0] = jnp.exp(log_t)
-    med_ref[0] = jnp.where(med_any > 0.5, med_num, 15.0)
+    accum_ref[tl] = accum
+    ft_ref[tl] = jnp.exp(log_t)
+    med_ref[tl] = jnp.where(med_any > 0.5, med_num, 15.0)
 
 
-def _bwd_kernel(tiles_x, tile_x, tile_y, channels, block,
+def _bwd_kernel(tiles_x, tile_x, tile_y, channels, block, tpb,
                 xy_ref, con_ref, op_ref, col_ref, dep_ref, live_ref,
                 gacc_ref, gft_ref,
                 dxy_ref, dcon_ref, dop_ref, dcol_ref):
+    for tl in range(tpb):
+        _bwd_one(tiles_x, tile_x, tile_y, channels, block, tl,
+                 xy_ref, con_ref, op_ref, col_ref, dep_ref, live_ref,
+                 gacc_ref, gft_ref, dxy_ref, dcon_ref, dop_ref, dcol_ref)
+
+
+def _bwd_one(tiles_x, tile_x, tile_y, channels, block, tl,
+             xy_ref, con_ref, op_ref, col_ref, dep_ref, live_ref,
+             gacc_ref, gft_ref,
+             dxy_ref, dcon_ref, dop_ref, dcol_ref):
     """Two-sweep per-tile gradient pass: forward sweep caches per-block
     transmittance carries; reverse sweep forms the suffix color mass and all
     parameter grads via moment matmuls (TPU analog of backward.cu:503-533)."""
-    t = pl.program_id(0)
+    t = pl.program_id(0) * xy_ref.shape[0] + tl
     k = xy_ref.shape[1]
     p = tile_x * tile_y
     nb = k // block
     g_mat, px, py = _pixel_monomials(t, tiles_x, tile_x, tile_y, p)
 
-    xy = xy_ref[0]
-    con = con_ref[0]
-    op = op_ref[0]
-    col = col_ref[0]
+    xy = xy_ref[tl]
+    con = con_ref[tl]
+    op = op_ref[tl]
+    col = col_ref[tl]
     f_mat = _quadratic_coeffs(xy, con)
     power = jnp.dot(f_mat, g_mat, preferred_element_type=jnp.float32)
-    a_eff, ok, raw = _alphas(power, op, live_ref[0])
+    a_eff, ok, raw = _alphas(power, op, live_ref[tl])
     log1m = jnp.log(jnp.maximum(1.0 - a_eff, LOG_EPS))
 
     lt = _tri_lower(block)
@@ -156,9 +179,9 @@ def _bwd_kernel(tiles_x, tile_x, tile_y, channels, block,
         carries.append(carries[-1] + jnp.sum(log1m[sl], axis=0, keepdims=True))
     t_final = jnp.exp(carries[-1])
 
-    gacc = gacc_ref[0]                                               # (C,P)
+    gacc = gacc_ref[tl]                                              # (C,P)
     gdotcol = jnp.dot(col, gacc, preferred_element_type=jnp.float32)  # (K,P)
-    g_t_term = gft_ref[0] * t_final                                   # (1,P)
+    g_t_term = gft_ref[tl] * t_final                                  # (1,P)
 
     # per-pixel moment basis for grad reductions: Gm^T = [1, px, py]
     gm = jnp.concatenate([jnp.ones_like(px), px, py], axis=0)         # (3,P)
@@ -225,10 +248,10 @@ def _bwd_kernel(tiles_x, tile_x, tile_y, channels, block,
         s_dot = s_dot + jnp.sum(q, axis=0, keepdims=True)
 
     order = list(range(nb))
-    dxy_ref[0] = jnp.concatenate([parts[b][0] for b in order], axis=0)
-    dcon_ref[0] = jnp.concatenate([parts[b][1] for b in order], axis=0)
-    dop_ref[0] = jnp.concatenate([parts[b][2] for b in order], axis=0)
-    dcol_ref[0] = jnp.concatenate([parts[b][3] for b in order], axis=0)
+    dxy_ref[tl] = jnp.concatenate([parts[b][0] for b in order], axis=0)
+    dcon_ref[tl] = jnp.concatenate([parts[b][1] for b in order], axis=0)
+    dop_ref[tl] = jnp.concatenate([parts[b][2] for b in order], axis=0)
+    dcol_ref[tl] = jnp.concatenate([parts[b][3] for b in order], axis=0)
 
 
 def _block(*shape):
@@ -236,50 +259,71 @@ def _block(*shape):
                         memory_space=pltpu.VMEM)
 
 
+def _pad_tiles(arrs, num_tiles, tpb):
+    """Pad the leading tile axis to a multiple of tiles-per-program."""
+    pad = (-num_tiles) % tpb
+    if pad == 0:
+        return arrs, num_tiles
+    return [jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)) for a in arrs], num_tiles + pad
+
+
 def _run_fwd(xy, con, op, col, dep, live, tiles_x, tile_x, tile_y):
     num_tiles, k = op.shape
     channels = col.shape[-1]
     p = tile_x * tile_y
     assert p % LANE == 0, p
-    block = min(BLOCK, k)
-    assert k % block == 0, (k, block)
-    kern = functools.partial(_fwd_kernel, tiles_x, tile_x, tile_y, channels, block)
-    return pl.pallas_call(
+    blk = min(BLOCK, k)
+    assert k % blk == 0, (k, blk)
+    tpb = min(TILES_PER_PROGRAM, max(num_tiles, 1))
+    (xy, con, opv, col, depv, livev), nt = _pad_tiles(
+        [xy, con, op[..., None], col, dep[..., None], live[..., None]], num_tiles, tpb)
+    kern = functools.partial(_fwd_kernel, tiles_x, tile_x, tile_y, channels, blk, tpb)
+    block = lambda *shape: pl.BlockSpec((tpb,) + shape, lambda t: (t,) + (0,) * len(shape),
+                                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
         kern,
-        grid=(num_tiles,),
+        grid=(nt // tpb,),
         interpret=_interpret(),
-        in_specs=[_block(k, 2), _block(k, 3), _block(k, 1), _block(k, channels),
-                  _block(k, 1), _block(k, 1)],
-        out_specs=(_block(channels, p), _block(1, p), _block(1, p)),
+        in_specs=[block(k, 2), block(k, 3), block(k, 1), block(k, channels),
+                  block(k, 1), block(k, 1)],
+        out_specs=(block(channels, p), block(1, p), block(1, p)),
         out_shape=(
-            jax.ShapeDtypeStruct((num_tiles, channels, p), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, 1, p), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((nt, channels, p), jnp.float32),
+            jax.ShapeDtypeStruct((nt, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((nt, 1, p), jnp.float32),
         ),
-    )(xy, con, op[..., None], col, dep[..., None], live[..., None])
+    )(xy, con, opv, col, depv, livev)
+    return tuple(o[:num_tiles] for o in out)
 
 
 def _run_bwd(xy, con, op, col, dep, live, gacc, gft, tiles_x, tile_x, tile_y):
     num_tiles, k = op.shape
     channels = col.shape[-1]
     p = tile_x * tile_y
-    block = min(BLOCK, k)
-    kern = functools.partial(_bwd_kernel, tiles_x, tile_x, tile_y, channels, block)
-    return pl.pallas_call(
+    blk = min(BLOCK, k)
+    tpb = min(BWD_TILES_PER_PROGRAM, max(num_tiles, 1))
+    (xy, con, opv, col, depv, livev, gacc, gft), nt = _pad_tiles(
+        [xy, con, op[..., None], col, dep[..., None], live[..., None], gacc, gft],
+        num_tiles, tpb)
+    kern = functools.partial(_bwd_kernel, tiles_x, tile_x, tile_y, channels, blk, tpb)
+    block = lambda *shape: pl.BlockSpec((tpb,) + shape, lambda t: (t,) + (0,) * len(shape),
+                                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
         kern,
-        grid=(num_tiles,),
+        grid=(nt // tpb,),
         interpret=_interpret(),
-        in_specs=[_block(k, 2), _block(k, 3), _block(k, 1), _block(k, channels),
-                  _block(k, 1), _block(k, 1),
-                  _block(channels, p), _block(1, p)],
-        out_specs=(_block(k, 2), _block(k, 3), _block(k, 1), _block(k, channels)),
+        in_specs=[block(k, 2), block(k, 3), block(k, 1), block(k, channels),
+                  block(k, 1), block(k, 1),
+                  block(channels, p), block(1, p)],
+        out_specs=(block(k, 2), block(k, 3), block(k, 1), block(k, channels)),
         out_shape=(
-            jax.ShapeDtypeStruct((num_tiles, k, 2), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, k, 3), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, k, 1), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, k, channels), jnp.float32),
+            jax.ShapeDtypeStruct((nt, k, 2), jnp.float32),
+            jax.ShapeDtypeStruct((nt, k, 3), jnp.float32),
+            jax.ShapeDtypeStruct((nt, k, 1), jnp.float32),
+            jax.ShapeDtypeStruct((nt, k, channels), jnp.float32),
         ),
-    )(xy, con, op[..., None], col, dep[..., None], live[..., None], gacc, gft)
+    )(xy, con, opv, col, depv, livev, gacc, gft)
+    return tuple(o[:num_tiles] for o in out)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
