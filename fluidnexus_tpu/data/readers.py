@@ -131,6 +131,48 @@ def _load_image(path: str, gray: bool) -> np.ndarray:
     return np.asarray(img, np.float32) / 255.0
 
 
+def _png_dims(path: str):
+    """(h, w) from the PNG IHDR header without decoding, or None."""
+    import struct
+
+    try:
+        with open(path, "rb") as f:
+            head = f.read(26)
+    except OSError:
+        return None
+    if head[:8] != b"\x89PNG\r\n\x1a\n" or head[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", head[16:24])
+    return int(h), int(w)
+
+
+def _decode_many(paths, gray: bool):
+    """Parallel PNG decode through the native runtime loader
+    (runtime/image_loader.cpp), grouped by source dims so each group shares
+    one decoder pool. Replaces the reference's serial PIL loop over every
+    (view, frame) image (fluid_nexus_real.py readCamerasFromTransforms).
+    Returns {path: float32 (H,W) or (H,W,3)}."""
+    from fluidnexus_tpu.runtime.native_loader import NativeImageLoader
+
+    out = {}
+    groups = {}
+    for p in sorted(set(paths)):
+        d = _png_dims(p)
+        if d is None:
+            out[p] = _load_image(p, gray)  # non-PNG / unreadable: PIL path
+        else:
+            groups.setdefault(d, []).append(p)
+    for (h, w), ps in groups.items():
+        it = NativeImageLoader(ps, h, w, gray=gray)
+        try:
+            for idx, arr in it:
+                out[ps[idx]] = arr if gray else np.ascontiguousarray(
+                    arr.transpose(1, 2, 0))
+        finally:
+            it.close()
+    return out
+
+
 def _resize(img: np.ndarray, resolution: int):
     h, w = img.shape[:2]
     if resolution in (1, 2, 4, 8):
@@ -243,17 +285,16 @@ def read_cameras_real_capture(
                 if not os.path.exists(real_image_path):
                     real_image_path = image_path
                 assert os.path.exists(image_path), f"Image path {image_path} does not exist!"
-                image = _resize(_load_image(image_path, gray_image), resolution)
-                real_image = _resize(_load_image(real_image_path, gray_image), resolution)
-                ch, cw = image.shape[:2]
+                ch = cw = -1  # filled in after the batch decode
             else:
                 is_fake_view = True
+                image_path = real_image_path = None
                 ch, cw = h, w
 
             cameras.append(
                 Camera(
                     uid=uid, R=R, T=T, fovx=fovx, fovy=fovy, width=cw, height=ch,
-                    image=image, image_real=real_image,
+                    image=image_path, image_real=real_image_path,
                     image_name=frame["file_path"].split("/")[-1],
                     time_idx=(time_idx - start_time) // time_step,
                     timestamp=timestamp, is_fake_view=is_fake_view,
@@ -261,6 +302,17 @@ def read_cameras_real_capture(
                 )
             )
             uid += 1
+
+    # batch decode: every unique path once, through the native threaded loader
+    todo = [p for c in cameras for p in (c.image, c.image_real) if isinstance(p, str)]
+    if todo:
+        decoded = _decode_many(todo, gray_image)
+        for c in cameras:
+            if not isinstance(c.image, str):
+                continue
+            c.image = _resize(decoded[c.image], resolution)
+            c.image_real = _resize(decoded[c.image_real], resolution)
+            c.height, c.width = c.image.shape[:2]
     return cameras
 
 

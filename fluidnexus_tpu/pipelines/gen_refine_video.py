@@ -146,6 +146,9 @@ def main(argv=None):
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=720)
     ap.add_argument("--tiny", action="store_true", help="tiny random model (smoke test)")
+    ap.add_argument("--pack_video", action="store_true",
+                    help="also pack the refined frames into a video file")
+    ap.add_argument("--fps", type=int, default=8)
     args = ap.parse_args(argv)
 
     from fluidnexus_tpu.diffusion.video.dit import VideoDiTConfig
@@ -182,6 +185,10 @@ def main(argv=None):
     refine_long_video(engine, params, vae_params, text_emb, uc_text_emb,
                       args.input_folder, args.gt_prefix_folder, args.out_folder,
                       cfg, jax.random.PRNGKey(2))
+    if args.pack_video:
+        from fluidnexus_tpu.utils.video_io import frames_folder_to_video
+
+        print("video:", frames_folder_to_video(args.out_folder, fps=args.fps))
 
 
 if __name__ == "__main__":

@@ -38,6 +38,9 @@ def main(argv=None):
     ap.add_argument("--t5_dir", default="")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--pack_video", action="store_true",
+                    help="also pack frames into a video file (mp4 or MJPEG avi)")
+    ap.add_argument("--fps", type=int, default=8)
     args = ap.parse_args(argv)
 
     lat_t = (args.num_frames - 1) // 4 + 1
@@ -77,6 +80,10 @@ def main(argv=None):
                         prefix_clean_frames=prefix_lat)
     decoded = engine.decode_first_stage(vae_params, jnp.transpose(lat, (0, 1, 3, 4, 2)))
     save_frames(args.out_folder, np.asarray(decoded[0]), 0)
+    if args.pack_video:
+        from fluidnexus_tpu.utils.video_io import frames_folder_to_video
+
+        print("video:", frames_folder_to_video(args.out_folder, fps=args.fps))
     print(f"wrote {decoded.shape[1]} frames to {args.out_folder}")
 
 

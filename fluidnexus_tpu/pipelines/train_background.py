@@ -11,6 +11,8 @@ CLI: python -m fluidnexus_tpu.pipelines.train_background --config <json> ...
 """
 from __future__ import annotations
 
+import functools
+
 import os
 import time
 from typing import List, Optional
@@ -45,7 +47,7 @@ def make_train_step(width: int, height: int, raster_cfg: RasterizerConfig,
                     scaling_reg_ratio_threshold: float):
     """Build the jitted (model, adam, camera, gt, lrs) -> step function."""
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(model: BackgroundModel, opt, cam_view, cam_proj, cam_fovs, gt, bg, lrs):
         params = _trainable(model)
         xy_off = jnp.zeros((model.capacity, 2), jnp.float32)
@@ -251,12 +253,9 @@ def main(argv=None):
     writer = None
     if cfg.model.model_path:
         dump_config(cfg, os.path.join(cfg.model.model_path, "cfg_args.json"))
-        try:
-            from torch.utils.tensorboard import SummaryWriter
+        from fluidnexus_tpu.utils.tb import TrainLogger
 
-            writer = SummaryWriter(cfg.model.model_path)
-        except ImportError:
-            pass
+        writer = TrainLogger(cfg.model.model_path)
     model, stats = train(cfg, scene_info, writer)
     print(f"done: {stats}")
 

@@ -11,6 +11,8 @@ TPU: data-parallel over the 'data' mesh axis; one jitted train step.
 """
 from __future__ import annotations
 
+import functools
+
 import argparse
 import os
 import time
@@ -98,7 +100,7 @@ def train(args, log=print):
     rng_np = np.random.default_rng(args.seed)
     data_sh = NamedSharding(mesh, P("data"))
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(p, s, tgt, cond, dt, rng):
         loss, grads = jax.value_and_grad(
             lambda q: model.loss_fn(q, tgt, cond, dt, rng))(p)

@@ -128,7 +128,7 @@ def make_current_frame_step(bg: Optional[BackgroundSplats], raster_cfg, width, h
                             params: PBFParams, o, channels: int):
     lambda_dssim = o.lambda_dssim
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(exyz_nn, opt: AdamState, state: ParticleState, visual: VisualState,
              attrs: VisualAttrs, cams, gts, lr):
         def loss_fn(nn):
@@ -379,11 +379,16 @@ def _phase_c(cfg, scene_info, state, visual, attrs, bg, raster_cfg, params,
                          "hidden": int(state.num_alive), "visual": int(visual.num_alive)}
         # held-out evaluation (training_report parity, ref :588-741)
         if test_by_t.get(t):
-            ev = evaluate_frame(visual, attrs, bg, test_by_t[t], raster_cfg)
+            ev, img0 = evaluate_frame(visual, attrs, bg, test_by_t[t], raster_cfg,
+                                      return_image=True)
             frame_metrics.update(ev)
             if writer:
                 for k, v in ev.items():
                     writer.add_scalar(f"test_frame_{t:03d}/{k}", v, t)
+                if img0 is not None:
+                    # rendered-grid parity with the reference's tb_writer
+                    # add_images (train_physical_particle.py:699-741)
+                    writer.add_image("render/test_view", img0, t)
         metrics_per_frame.append(frame_metrics)
         log(f"frame {t}/{n_frames-1}: loss={float(loss):.5f} "
             f"hidden={int(state.num_alive)} visual={int(visual.num_alive)}")
@@ -396,10 +401,11 @@ def _phase_c(cfg, scene_info, state, visual, attrs, bg, raster_cfg, params,
 
 
 def evaluate_frame(visual: VisualState, attrs: VisualAttrs, bg, cams: List[Camera],
-                   raster_cfg, scale_factor=100.0, scaled=True):
+                   raster_cfg, scale_factor=100.0, scaled=True, return_image=False):
     """Held-out render metrics (training_report, ref :588-741): gray L1/PSNR
     vs supervision image and vs real capture."""
     out = {}
+    first_img = None
     vxyz = visual.xyz / scale_factor if scaled else visual.xyz
     for cam in cams:
         r = render_particles_with_background(
@@ -410,6 +416,8 @@ def evaluate_frame(visual: VisualState, attrs: VisualAttrs, bg, cams: List[Camer
             config=raster_cfg,
         )
         img = to_gray3(jnp.clip(r.color, 0, 1))
+        if first_img is None:
+            first_img = np.asarray(img)
         for name, target in (("", cam.image), ("_real", cam.image_real)):
             if target is None:
                 continue
@@ -418,7 +426,8 @@ def evaluate_frame(visual: VisualState, attrs: VisualAttrs, bg, cams: List[Camer
                                       ).transpose(2, 0, 1))
             out.setdefault(f"l1{name}", []).append(float(l1_loss(img, gt)))
             out.setdefault(f"psnr{name}", []).append(float(psnr(img, gt)))
-    return {k: float(np.mean(v)) for k, v in out.items()}
+    res = {k: float(np.mean(v)) for k, v in out.items()}
+    return (res, first_img) if return_image else res
 
 
 def main(argv=None):
@@ -436,12 +445,9 @@ def main(argv=None):
         dump_config(cfg, os.path.join(cfg.model.model_path, "cfg_args.json"))
     writer = None
     if cfg.model.model_path:
-        try:
-            from torch.utils.tensorboard import SummaryWriter
+        from fluidnexus_tpu.utils.tb import TrainLogger
 
-            writer = SummaryWriter(cfg.model.model_path)
-        except ImportError:
-            pass
+        writer = TrainLogger(cfg.model.model_path)
     result = train(cfg, writer=writer, resume_from_frame=resume)
     print(f"done: {len(result['metrics'])} frames")
 

@@ -15,6 +15,8 @@ mp4 decode (decord in the reference) is gated behind imageio-ffmpeg.
 """
 from __future__ import annotations
 
+import functools
+
 import argparse
 import os
 import time
@@ -110,7 +112,7 @@ def train(args, log=print):
     ds = ClipFolderDataset(args.data_root, args.num_frames, args.height, args.width)
     rng_np = np.random.default_rng(args.seed)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(p, s, latents, txt, rng):
         loss, grads = jax.value_and_grad(
             lambda q: engine.loss_fn(q, latents, txt, rng, is_i2v=True)[0])(p)

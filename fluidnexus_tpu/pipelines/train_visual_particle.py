@@ -9,6 +9,8 @@ previous frame + scale-anisotropy regularizer, save per-frame npys.
 """
 from __future__ import annotations
 
+import functools
+
 import os
 from typing import Optional
 
@@ -60,7 +62,9 @@ def make_level_two_step(bg, raster_cfg, width, height, o, fit_fields):
     lambda_cons = dict(color=o.lambda_consistency_color, opacity=o.lambda_consistency_opacity,
                        scales=o.lambda_consistency_scales, rotation=o.lambda_consistency_rotation)
 
-    @jax.jit
+    # NB: ``trainable``'s leaves alias ``fixed_attrs`` (same arrays passed in
+    # both) so arg 0 cannot be donated; the Adam state is donation-safe.
+    @functools.partial(jax.jit, donate_argnums=(6,))
     def step(trainable, fixed_attrs: VisualAttrs, prev_attrs: VisualAttrs, has_prev,
              visual_xyz, alive, opt, cams, gts, lrs):
         def loss_fn(tr):
@@ -106,7 +110,7 @@ def make_level_two_step(bg, raster_cfg, width, height, o, fit_fields):
     return step
 
 
-def train(cfg: Config, scene_info=None, log=print):
+def train(cfg: Config, scene_info=None, log=print, writer=None):
     o, m = cfg.optim, cfg.model
     raster_cfg = RasterizerConfig(tile_capacity=cfg.pipe.tile_capacity, dup_x=cfg.pipe.dup_x,
                                   dup_y=cfg.pipe.dup_y, chunk=cfg.pipe.chunk,
@@ -168,6 +172,9 @@ def train(cfg: Config, scene_info=None, log=print):
         attrs = attrs._replace(**trainable)
         prev = attrs
         results.append({"frame": t, "loss": float(loss), "l1": float(l1v)})
+        if writer:
+            writer.add_scalar("level_two/loss", float(loss), t)
+            writer.add_scalar("level_two/l1", float(l1v), t)
         log(f"level-two frame {t}/{n_frames-1}: loss={float(loss):.5f}")
         if out_dir:
             save_visual(visual, attrs, out_dir, t, scale=False)
@@ -176,9 +183,13 @@ def train(cfg: Config, scene_info=None, log=print):
 
 def main(argv=None):
     cfg = parse_cli(argv, description="train visual particles (level two)")
+    writer = None
     if cfg.model.model_path:
         dump_config(cfg, os.path.join(cfg.model.model_path, "cfg_args.json"))
-    results = train(cfg)
+        from fluidnexus_tpu.utils.tb import TrainLogger
+
+        writer = TrainLogger(cfg.model.model_path)
+    results = train(cfg, writer=writer)
     print(f"done: {len(results)} frames")
 
 

@@ -95,7 +95,8 @@ void resize_normalize(const Image& img, float* out, int oh, int ow, int gray) {
                   (v10 * (1 - wx) + v11 * wx) * wy) / 255.0f;
       }
       if (gray) {
-        out[(size_t)y * ow + x] = (px[0] + px[1] + px[2]) / 3.0f;
+        // ITU-R 601 luma — matches PIL Image.convert("L")
+        out[(size_t)y * ow + x] = 0.299f * px[0] + 0.587f * px[1] + 0.114f * px[2];
       } else {
         // CHW layout to match the renderer's channel-first images
         out[(size_t)0 * oh * ow + (size_t)y * ow + x] = px[0];

@@ -52,5 +52,7 @@ def test_gray_mode(tmp_path):
     idx, arr = next(loader)
     loader.close()
     assert arr.shape == (24, 16)
-    expect = (arrays[idx].astype(np.float32) / 255.0).mean(-1)
+    # ITU-R 601 luma, matching PIL convert("L") (the readers' fallback path)
+    rgb = arrays[idx].astype(np.float32) / 255.0
+    expect = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
     np.testing.assert_allclose(arr, expect, atol=3e-2)
