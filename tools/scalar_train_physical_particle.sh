@@ -1,0 +1,9 @@
+#!/usr/bin/env bash
+# ScalarFlow capture: physical reconstruction
+# (reference launcher: tools_scalar_real/train_physical_particle.sh)
+set -e
+ROOT=${FLUIDNEXUS_ROOT:-/data/FluidNexusRoot}
+CFG=$(dirname "$0")/../configs
+python -m fluidnexus_tpu.pipelines.train_physical_particle \
+  --data_path "$ROOT/ScalarReal" --model_path "$ROOT/output/scalar_physical_reconstruction" \
+  --loader scalar_real --config "$CFG/scalar_dynamics.json" "$@"
