@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 LANE = 128
 BLOCK = 64          # Gaussians per triangular-prefix block
 TILES_PER_PROGRAM = 8      # fwd tiles per grid program (amortizes overhead)
-BWD_TILES_PER_PROGRAM = 1  # bwd holds ~1MB of (K,P) values per tile; >2 OOMs VMEM
+BWD_TILES_PER_PROGRAM = 1  # bwd holds ~1MB of (K,P) values per tile; 2 is a wash, 8 OOMs VMEM
 LOG_EPS = 1e-37     # log floor (a_eff <= 0.99 keeps log1p(-a) >= log(0.01))
 
 
