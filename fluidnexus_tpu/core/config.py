@@ -136,6 +136,10 @@ class OptimConfig:
     opacity_reset_interval: int = 3_000
     opacity_reset_at: int = 10000
     densification_interval: int = 100
+    # fluidnexus_tpu extension (no reference counterpart): max optimizer
+    # iterations fused into one device launch via lax.scan in
+    # train_background (0 = auto, 1 = one dispatch per iteration)
+    steps_per_launch: int = 0
     densify_from_iter: int = 500
     densify_until_iter: int = 15_000
     densify_grad_threshold: float = 0.0002

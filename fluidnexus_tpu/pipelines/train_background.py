@@ -47,7 +47,19 @@ def make_train_step(width: int, height: int, raster_cfg: RasterizerConfig,
                     scaling_reg_ratio_threshold: float):
     """Build the jitted (model, adam, camera, gt, lrs) -> step function."""
 
+    core = _make_step_core(width, height, raster_cfg, lambda_dssim,
+                           lambda_reg_scaling, scaling_reg_ratio_threshold)
+
     @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(model: BackgroundModel, opt, cam_view, cam_proj, cam_fovs, gt, bg, lrs):
+        return core(model, opt, cam_view, cam_proj, cam_fovs, gt, bg, lrs)
+
+    return step
+
+
+def _make_step_core(width: int, height: int, raster_cfg: RasterizerConfig,
+                    lambda_dssim: float, lambda_reg_scaling: float,
+                    scaling_reg_ratio_threshold: float):
     def step(model: BackgroundModel, opt, cam_view, cam_proj, cam_fovs, gt, bg, lrs):
         params = _trainable(model)
         xy_off = jnp.zeros((model.capacity, 2), jnp.float32)
@@ -82,6 +94,42 @@ def make_train_step(width: int, height: int, raster_cfg: RasterizerConfig,
         return model, opt, loss, l1v, img
 
     return step
+
+
+def make_train_scan(width: int, height: int, raster_cfg: RasterizerConfig,
+                    lambda_dssim: float, lambda_reg_scaling: float,
+                    scaling_reg_ratio_threshold: float,
+                    views, projs, fovss, gts, fixed_lrs, base_key,
+                    random_background: bool, background):
+    """Device-side multi-step loop: ONE dispatch runs a whole chunk of
+    optimizer iterations via ``lax.scan`` over per-step (camera index,
+    iteration, position-lr) sequences. Between launches the host runs the
+    densification / reset / prune / save events exactly where the reference
+    does. This removes the per-iteration host dispatch that dominates small
+    steps (the reference's python loop pays it every iteration)."""
+    core = _make_step_core(width, height, raster_cfg, lambda_dssim,
+                           lambda_reg_scaling, scaling_reg_ratio_threshold)
+    n_ch = background.shape[0]
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def multi(model, opt, cam_seq, it_seq, lr_xyz_seq):
+        def body(carry, x):
+            model, opt = carry
+            ci, it, lr_xyz = x
+            if random_background:  # static flag
+                bg = jax.random.uniform(jax.random.fold_in(base_key, it), (n_ch,))
+            else:
+                bg = jnp.asarray(background, jnp.float32)
+            lrs = dict(fixed_lrs, xyz=lr_xyz)
+            model, opt, loss, l1v, _ = core(
+                model, opt, views[ci], projs[ci], fovss[ci], gts[ci], bg, lrs)
+            return (model, opt), (loss, l1v)
+
+        (model, opt), (losses, l1s) = jax.lax.scan(
+            body, (model, opt), (cam_seq, it_seq, lr_xyz_seq))
+        return model, opt, losses, l1s
+
+    return multi
 
 
 def render_view(model: BackgroundModel, cam: Camera, bg, raster_cfg: RasterizerConfig):
@@ -166,28 +214,94 @@ def train(cfg: Config, scene_info: SceneInfo, writer=None,
     key = jax.random.PRNGKey(cfg.seed)
     t0 = time.time()
 
-    for it in range(1, o.iterations + 1):
-        lr_xyz = expon_lr(it, bp.position_lr_init * extent, bp.position_lr_final * extent,
-                          lr_delay_mult=bp.position_lr_delay_mult, max_steps=bp.position_lr_max_steps)
-        lrs = dict(xyz=jnp.asarray(lr_xyz, jnp.float32),
-                   color=jnp.asarray(bp.color_lr), scaling=jnp.asarray(bp.scaling_lr),
-                   rotation=jnp.asarray(bp.rotation_lr), opacity=jnp.asarray(bp.opacity_lr))
+    # ---- device-side multi-step launches ------------------------------------
+    # host events (densify / reset / prune / save) all fire at interval
+    # boundaries, so a lax.scan chunk can always END exactly at the next one
+    def host_event_at(j: int) -> bool:
+        if j < o.densify_until_iter:
+            if j > o.densify_from_iter and j % o.densification_interval == 0:
+                return True
+            if j % o.opacity_reset_interval == 0 or (m.white_background and j == o.densify_from_iter):
+                return True
+        for interval in (o.prune_near_interval, o.prune_near_cam_interval, o.prune_large_interval):
+            if interval > 0 and j % interval == 0:
+                return True
+        return bool(m.model_path) and j in cfg.save_iterations
+
+    same_shape = all(c.width == width and c.height == height for c in cams)
+    chunk_cap = o.steps_per_launch if o.steps_per_launch > 0 else min(200, max(log_every, 1))
+    multi_fn = None
+    if chunk_cap > 1 and same_shape:
+        views_s = jnp.stack([t[0] for t in cam_tensors])
+        projs_s = jnp.stack([t[1] for t in cam_tensors])
+        fovs_s = jnp.stack([jnp.asarray(t[2]) for t in cam_tensors])
+        gts_s = jnp.stack([gt_of(c) for c in cams])
+        fixed_lrs = dict(color=jnp.asarray(bp.color_lr), scaling=jnp.asarray(bp.scaling_lr),
+                         rotation=jnp.asarray(bp.rotation_lr), opacity=jnp.asarray(bp.opacity_lr))
+        multi_fn = make_train_scan(width, height, raster_cfg, o.lambda_dssim,
+                                   o.lambda_reg_scaling, o.scaling_reg_ratio_threshold,
+                                   views_s, projs_s, fovs_s, gts_s, fixed_lrs, key,
+                                   bool(m.random_background), np.asarray(background, np.float32))
+
+    def next_cam() -> int:
+        nonlocal order
         if not order:
             order = list(rng.permutation(len(cams)))
-        ci = order.pop()
-        view, proj, fovs = cam_tensors[ci]
-        bg = jax.random.uniform(jax.random.fold_in(key, it), (num_channel,)) \
-            if m.random_background else background
+        return order.pop()
 
-        model, opt, loss, l1v, img = step_fn(model, opt, view, proj, fovs, gt_of(cams[ci]), bg, lrs)
+    def lr_at(j: int) -> float:
+        return expon_lr(j, bp.position_lr_init * extent, bp.position_lr_final * extent,
+                        lr_delay_mult=bp.position_lr_delay_mult,
+                        max_steps=bp.position_lr_max_steps)
 
-        if it % log_every == 0:
-            lossf = float(loss)
-            ema = 0.4 * lossf + 0.6 * ema
-            if writer:
-                writer.add_scalar("train_loss/l1_loss", float(l1v), it)
-                writer.add_scalar("train_loss/total_loss", lossf, it)
-                writer.add_scalar("points", int(model.num_alive), it)
+    it = 0
+    while it < o.iterations:
+        # take the largest chunk that ends at (or before) the next host event
+        n_take = 1
+        if multi_fn is not None:
+            n_take = min(chunk_cap, o.iterations - it)
+            for j in range(it + 1, it + n_take):
+                if host_event_at(j):
+                    n_take = j - it
+                    break
+
+        if multi_fn is not None and n_take > 1:
+            its = np.arange(it + 1, it + n_take + 1, dtype=np.int32)
+            cam_seq = np.array([next_cam() for _ in its], np.int32)
+            lr_seq = np.array([lr_at(int(j)) for j in its], np.float32)
+            model, opt, losses, l1s = multi_fn(model, opt, jnp.asarray(cam_seq),
+                                               jnp.asarray(its), jnp.asarray(lr_seq))
+            losses_np = l1s_np = None
+            for j in its:
+                if j % log_every == 0:
+                    if losses_np is None:
+                        losses_np, l1s_np = np.asarray(losses), np.asarray(l1s)
+                    k_in = int(j - it - 1)
+                    ema = 0.4 * float(losses_np[k_in]) + 0.6 * ema
+                    if writer:
+                        writer.add_scalar("train_loss/l1_loss", float(l1s_np[k_in]), int(j))
+                        writer.add_scalar("train_loss/total_loss", float(losses_np[k_in]), int(j))
+                        writer.add_scalar("points", int(model.num_alive), int(j))
+        else:
+            j = it + 1
+            lrs = dict(xyz=jnp.asarray(lr_at(j), jnp.float32),
+                       color=jnp.asarray(bp.color_lr), scaling=jnp.asarray(bp.scaling_lr),
+                       rotation=jnp.asarray(bp.rotation_lr), opacity=jnp.asarray(bp.opacity_lr))
+            ci = next_cam()
+            view, proj, fovs = cam_tensors[ci]
+            bg = jax.random.uniform(jax.random.fold_in(key, j), (num_channel,)) \
+                if m.random_background else background
+            model, opt, loss, l1v, img = step_fn(model, opt, view, proj, fovs,
+                                                 gt_of(cams[ci]), bg, lrs)
+            if j % log_every == 0:
+                lossf = float(loss)
+                ema = 0.4 * lossf + 0.6 * ema
+                if writer:
+                    writer.add_scalar("train_loss/l1_loss", float(l1v), j)
+                    writer.add_scalar("train_loss/total_loss", lossf, j)
+                    writer.add_scalar("points", int(model.num_alive), j)
+
+        it += n_take
 
         # densification schedule (train_background.py:236-253)
         if it < o.densify_until_iter:

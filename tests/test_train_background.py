@@ -109,3 +109,36 @@ def test_ply_roundtrip(tmp_path):
     np.testing.assert_allclose(back["opacity"], opacity, atol=1e-6)
     np.testing.assert_allclose(back["scaling"], scaling, atol=1e-6)
     np.testing.assert_allclose(back["rotation"], rotation, atol=1e-6)
+
+
+def test_multi_step_scan_matches_single_step(tmp_path):
+    """steps_per_launch=1 (one dispatch per iteration) and the lax.scan
+    multi-step launches must produce the same optimization trajectory."""
+    cams, _ = synthetic_scene(n_cams=2, n_gauss=20)
+    info = SceneInfo(
+        point_cloud=np.random.default_rng(2).uniform(-0.5, 0.5, (64, 3)).astype(np.float32),
+        train_cameras=cams, test_cameras=cams[:1],
+        nerf_normalization={"radius": 3.0, "translate": np.zeros(3)},
+    )
+    bp = BackgroundParams(capacity=128, position_lr_init=0.002, position_lr_final=0.0002)
+
+    results = {}
+    for name, spl in (("single", 1), ("scan", 25)):
+        cfg = Config()
+        cfg.optim.iterations = 50
+        cfg.optim.densify_from_iter = 20
+        cfg.optim.densification_interval = 25
+        cfg.optim.densify_until_iter = 40
+        cfg.optim.opacity_reset_interval = 1000
+        cfg.optim.steps_per_launch = spl
+        cfg.pipe.tile_capacity = 64
+        cfg.pipe.chunk = 16
+        cfg.pipe.dup_x = 3
+        cfg.pipe.dup_y = 3
+        model, _ = train(cfg, info, bg_params=bp)
+        results[name] = model
+
+    a, b = results["single"], results["scan"]
+    assert int(a.num_alive) == int(b.num_alive)
+    np.testing.assert_allclose(np.asarray(a.xyz), np.asarray(b.xyz), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(a.color), np.asarray(b.color), atol=5e-5)
