@@ -83,6 +83,9 @@ def main(argv=None):
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=720)
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--pack_video", action="store_true",
+                    help="also pack the refined frames into a video file")
+    ap.add_argument("--fps", type=int, default=8)
     args = ap.parse_args(argv)
 
     from fluidnexus_tpu.core.checkpoint import load_params
@@ -112,10 +115,14 @@ def main(argv=None):
 
     cfg = RefineConfig(window_frames=args.window_frames, prefix_frames=args.prefix_frames,
                        num_steps=args.num_steps, height=args.height, width=args.width)
-    refine_future(engine, params, vae_params, text_emb, jnp.zeros_like(text_emb),
-                  args.sim_render_folder, args.recon_frames_folder, args.out_root,
-                  args.camera_name, args.capture_part, args.gen_future_since,
-                  args.strength, cfg, jax.random.PRNGKey(2), args.is_wind)
+    out = refine_future(engine, params, vae_params, text_emb, jnp.zeros_like(text_emb),
+                        args.sim_render_folder, args.recon_frames_folder, args.out_root,
+                        args.camera_name, args.capture_part, args.gen_future_since,
+                        args.strength, cfg, jax.random.PRNGKey(2), args.is_wind)
+    if args.pack_video:
+        from fluidnexus_tpu.utils.video_io import frames_folder_to_video
+
+        print("video:", frames_folder_to_video(out, fps=args.fps))
 
 
 if __name__ == "__main__":
