@@ -355,3 +355,117 @@ def port_zero123_checkpoint(sd: Dict[str, np.ndarray], unet_cfg, vae_cfg,
         "cc": {"kernel": t2f_linear(sd["cc_projection.weight"]),
                "bias": np.asarray(sd["cc_projection.bias"])},
     }
+
+
+# --------------------------- CogVideoX DiT (SAT) ------------------------------
+
+
+def port_video_dit(sd: Dict[str, np.ndarray], cfg) -> Dict:
+    """Map a SAT DiffusionTransformer state dict (CogVideoX
+    dit_video_concat.py: base transformer layers + patch_embed / adaln_layer /
+    final_layer mixins; key layout of sat's mp_rank_00_model_states.pt) onto
+    the VideoDiT param tree. Requires cfg.ln_affine=True (the released 5B
+    trains affine LayerNorms, configs/cogvideox_5b.yaml:26).
+
+    Layout notes:
+      - fused qkv: SAT query_key_value is [q;k;v] along the output dim,
+        matching VideoDiT's jnp.split(qkv, 3, -1).
+      - patch conv (D,C,p,p) -> dense kernel indexed (py,px,C) fastest-C
+        (VideoDiT flattens patches channel-fastest).
+      - final linear rows are (c,p,q) in the reference (unpatchify
+        'b (t h w) (c p q)', :359) but (p,q,c) here -> rows permuted.
+      - RoPE freqs_sin/cos buffers are recomputed, not ported.
+      - SAT-LoRA finetunes: merge matrix_A/B into the base weights first
+        (sat lora2 merge) or fold with merge_lora_into_dense.
+    """
+    assert cfg.ln_affine, "the 5B checkpoint has affine LNs; set ln_affine=True"
+    pre = ""
+    if any(k.startswith("model.diffusion_model.") for k in sd):
+        pre = "model.diffusion_model."
+
+    def g(k):
+        return np.asarray(sd[pre + k])
+
+    def lin(k):
+        return {"kernel": t2f_linear(g(k + ".weight")), "bias": g(k + ".bias")}
+
+    def ln(k):
+        return {"scale": g(k + ".weight"), "bias": g(k + ".bias")}
+
+    p_sz = cfg.patch_size
+    # conv (D,C,p,p) -> (p,p,C) rows, D cols
+    w = g("mixins.patch_embed.proj.weight")
+    d_out, c_in = w.shape[0], w.shape[1]
+    patch_kernel = np.ascontiguousarray(
+        w.transpose(2, 3, 1, 0).reshape(p_sz * p_sz * c_in, d_out))
+
+    # final linear rows (c,p,q) -> (p,q,c)
+    wf = t2f_linear(g("mixins.final_layer.linear.weight"))   # (D, C*p*q)
+    bf = g("mixins.final_layer.linear.bias")
+    c_out = cfg.out_channels
+    wf = wf.reshape(-1, c_out, p_sz, p_sz).transpose(0, 2, 3, 1).reshape(wf.shape[0], -1)
+    bf = bf.reshape(c_out, p_sz, p_sz).transpose(1, 2, 0).reshape(-1)
+
+    params = {
+        "patch_proj": {"kernel": patch_kernel, "bias": g("mixins.patch_embed.proj.bias")},
+        "text_proj": lin("mixins.patch_embed.text_proj"),
+        "time_fc1": lin("time_embed.0"),
+        "time_fc2": lin("time_embed.2"),
+        "final_ln": ln("transformer.final_layernorm"),
+        "norm_final": ln("mixins.final_layer.norm_final"),
+        "final_adaLN": lin("mixins.final_layer.adaLN_modulation.1"),
+        "final_linear": {"kernel": np.ascontiguousarray(wf), "bias": np.ascontiguousarray(bf)},
+    }
+    for i in range(cfg.num_layers):
+        t = f"transformer.layers.{i}"
+        a = "mixins.adaln_layer"
+        blk = {
+            "adaLN": lin(f"{a}.adaLN_modulations.{i}.1"),
+            "ln1": ln(f"{t}.input_layernorm"),
+            "ln2": ln(f"{t}.post_attention_layernorm"),
+            "attn": {
+                "qkv": lin(f"{t}.attention.query_key_value"),
+                "out": lin(f"{t}.attention.dense"),
+                "q_ln_scale": g(f"{a}.query_layernorm_list.{i}.weight"),
+                "q_ln_bias": g(f"{a}.query_layernorm_list.{i}.bias"),
+                "k_ln_scale": g(f"{a}.key_layernorm_list.{i}.weight"),
+                "k_ln_bias": g(f"{a}.key_layernorm_list.{i}.bias"),
+            },
+            "mlp": {
+                "fc1": lin(f"{t}.mlp.dense_h_to_4h"),
+                "fc2": lin(f"{t}.mlp.dense_4h_to_h"),
+            },
+        }
+        params[f"block_{i}"] = blk
+    return params
+
+
+def graft_params_into(template, ported) -> Dict:
+    """Replace leaf values of an init()-produced param tree with a ported
+    plain-dict tree, preserving flax boxing (nn.Partitioned) and dtypes.
+    Keys absent from ``ported`` (e.g. lora_a/lora_b) keep template values."""
+    import flax
+    import jax
+    import jax.numpy as jnp
+
+    flat_p = flax.traverse_util.flatten_dict(ported, sep="/")
+
+    def key_of(path):
+        parts = []
+        for e in path:
+            if hasattr(e, "key"):
+                parts.append(str(e.key))
+            # GetAttrKey('value') from Partitioned boxes is dropped
+        return "/".join(parts)
+
+    def replace(path, leaf):
+        k = key_of(path)
+        if k.startswith("params/"):
+            k = k[len("params/"):]
+        if k in flat_p:
+            new = jnp.asarray(np.asarray(flat_p[k]))
+            assert new.shape == leaf.shape, f"{k}: {new.shape} vs {leaf.shape}"
+            return new.astype(leaf.dtype)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(replace, template)

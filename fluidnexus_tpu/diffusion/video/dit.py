@@ -49,6 +49,10 @@ class VideoDiTConfig:
     mlp_ratio: int = 4
     lora_rank: int = 0               # 0 disables LoRA params
     dtype: jnp.dtype = jnp.bfloat16
+    # the released 5B model trains affine LayerNorms everywhere
+    # (configs/cogvideox_5b.yaml elementwise_affine: True); False gives the
+    # classic DiT non-affine LN (modulation supplies shift/scale)
+    ln_affine: bool = True
 
     @property
     def head_dim(self):
@@ -151,6 +155,24 @@ def modulate(x, shift, scale):
     return x * (1 + scale[:, None, :]) + shift[:, None, :]
 
 
+class AffineLN(nn.Module):
+    """LayerNorm with learned scale/bias (elementwise_affine=True of the
+    released 5B weights); pure _ln when the config disables affine."""
+
+    affine: bool = True
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        y = _ln(x, self.eps)
+        if not self.affine:
+            return y
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        return y * scale.astype(y.dtype) + bias.astype(y.dtype)
+
+
 def _joint_attention(q, k, v):
     """Full self-attention over the joint text+video sequence. On TPU with
     block-aligned shapes this takes the Pallas flash-attention kernel (the
@@ -190,6 +212,11 @@ class JointAttention(nn.Module):
         k_scale = self.param("k_ln_scale", nn.initializers.ones, (c.head_dim,), jnp.float32)
         q = _ln(q) * q_scale.astype(c.dtype)
         k = _ln(k) * k_scale.astype(c.dtype)
+        if c.ln_affine:  # the 5B qk-LNs are full affine LayerNorms
+            q_bias = self.param("q_ln_bias", nn.initializers.zeros, (c.head_dim,), jnp.float32)
+            k_bias = self.param("k_ln_bias", nn.initializers.zeros, (c.head_dim,), jnp.float32)
+            q = q + q_bias.astype(c.dtype)
+            k = k + k_bias.astype(c.dtype)
 
         tl = c.text_length
         q = q.at[:, :, tl:].set(apply_rope(q[:, :, tl:], rope_cos, rope_sin).astype(q.dtype))
@@ -226,15 +253,20 @@ class DiTBlock(nn.Module):
         (s_msa, sc_msa, g_msa, s_mlp, sc_mlp, g_mlp,
          ts_msa, tsc_msa, tg_msa, ts_mlp, tsc_mlp, tg_mlp) = jnp.split(mod.astype(c.dtype), 12, -1)
 
+        # input_layernorm / post_attention_layernorm are shared between the
+        # text and image streams and applied BEFORE modulate
+        # (AdaLNMixin.layer_forward :510-534)
+        ln1 = AffineLN(affine=c.ln_affine, name="ln1")
+        ln2 = AffineLN(affine=c.ln_affine, name="ln2")
         xt, xi = x[:, :tl], x[:, tl:]
         h = jnp.concatenate(
-            [modulate(_ln(xt), ts_msa, tsc_msa), modulate(_ln(xi), s_msa, sc_msa)], 1)
+            [modulate(ln1(xt), ts_msa, tsc_msa), modulate(ln1(xi), s_msa, sc_msa)], 1)
         a = JointAttention(c, name="attn")(h, rope_cos, rope_sin)
         xt = xt + tg_msa[:, None] * a[:, :tl]
         xi = xi + g_msa[:, None] * a[:, tl:]
 
         h = jnp.concatenate(
-            [modulate(_ln(xt), ts_mlp, tsc_mlp), modulate(_ln(xi), s_mlp, sc_mlp)], 1)
+            [modulate(ln2(xt), ts_mlp, tsc_mlp), modulate(ln2(xi), s_mlp, sc_mlp)], 1)
         mo = MLP(c, name="mlp")(h)
         xt = xt + tg_mlp[:, None] * mo[:, :tl]
         xi = xi + g_mlp[:, None] * mo[:, tl:]
@@ -273,12 +305,14 @@ class VideoDiT(nn.Module):
         for i in range(c.num_layers):
             x = DiTBlock(c, name=f"block_{i}")(x, temb, rope_cos, rope_sin)
 
-        # final layer (FinalLayerMixin:364-400)
+        # SAT base transformer's final_layernorm after the last layer, then
+        # the FinalLayerMixin norm_final + modulate (:364-400)
+        x = AffineLN(affine=c.ln_affine, name="final_ln")(x)
         xi = x[:, c.text_length:]
         mod = nn.Dense(2 * c.hidden_size, name="final_adaLN",
                        kernel_init=nn.initializers.zeros, dtype=jnp.float32)(nn.silu(temb))
         shift, scale = jnp.split(mod.astype(c.dtype), 2, -1)
-        xi = modulate(_ln(xi), shift, scale)
+        xi = modulate(AffineLN(affine=c.ln_affine, name="norm_final")(xi), shift, scale)
         xi = nn.Dense(p * p * c.out_channels, name="final_linear", dtype=c.dtype)(xi)
 
         # unpatchify (:352-361)
