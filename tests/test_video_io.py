@@ -57,3 +57,48 @@ def test_frames_folder_to_video(tmp_path):
     out = frames_folder_to_video(str(folder), fps=8)
     assert os.path.exists(out)
     assert read_video(out).shape == (3, 48, 64, 3)
+
+
+def test_orbit_cameras_geometry():
+    """Orbit cameras all look at the center; projection puts it mid-frame."""
+    from fluidnexus_tpu.data.camera_paths import orbit_cameras
+
+    center = np.array([0.3, 0.5, -0.2])
+    cams = orbit_cameras(center, radius=2.0, n_frames=8, width=64, image_height=48)
+    assert len(cams) == 8
+    for cam in cams:
+        # center projects to NDC (0,0) with positive depth
+        ph = np.concatenate([center, [1.0]]) @ cam.full_proj
+        ndc = ph[:2] / ph[3]
+        assert abs(ndc[0]) < 1e-5 and abs(ndc[1]) < 1e-5, ndc
+        pv = np.concatenate([center, [1.0]]) @ cam.world_view
+        assert pv[2] > 0  # in front of the camera
+        # eye stays on the orbit sphere
+        assert abs(np.linalg.norm(cam.camera_center - center) - np.hypot(2.0, 0.0)) < 1e-4
+
+
+def test_render_orbit_example(tmp_path):
+    """End-to-end: PLY -> orbit render -> AVI."""
+    from fluidnexus_tpu.core.ply import save_background_ply
+
+    rng = np.random.default_rng(0)
+    n = 50
+    ply = tmp_path / "pc.ply"
+    save_background_ply(
+        str(ply),
+        rng.uniform(-0.3, 0.3, (n, 3)).astype(np.float32),
+        rng.uniform(0, 1, (n, 3)).astype(np.float32),
+        rng.normal(2.0, 0.1, (n, 1)).astype(np.float32),
+        np.full((n, 3), -3.0, np.float32),
+        np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1)),
+    )
+    import sys
+    sys.path.insert(0, "examples")
+    from render_orbit import main
+
+    out = tmp_path / "orbit.avi"
+    main(["--ply", str(ply), "--out", str(out), "--frames", "3",
+          "--width", "48", "--height", "32", "--radius", "2.0"])
+    v = read_video(str(out))
+    assert v.shape == (3, 32, 48, 3)
+    assert v.mean() > 1.0  # something rendered (not all black)
