@@ -277,6 +277,7 @@ def train(cfg: Config, scene_info: SceneInfo, writer=None,
                     if losses_np is None:
                         losses_np, l1s_np = np.asarray(losses), np.asarray(l1s)
                     k_in = int(j - it - 1)
+                    _guard_finite(float(losses_np[k_in]), int(j), model, m.model_path)
                     ema = 0.4 * float(losses_np[k_in]) + 0.6 * ema
                     if writer:
                         writer.add_scalar("train_loss/l1_loss", float(l1s_np[k_in]), int(j))
@@ -295,6 +296,7 @@ def train(cfg: Config, scene_info: SceneInfo, writer=None,
                                                  gt_of(cams[ci]), bg, lrs)
             if j % log_every == 0:
                 lossf = float(loss)
+                _guard_finite(lossf, j, model, m.model_path)
                 ema = 0.4 * lossf + 0.6 * ema
                 if writer:
                     writer.add_scalar("train_loss/l1_loss", float(l1v), j)
@@ -329,6 +331,22 @@ def train(cfg: Config, scene_info: SceneInfo, writer=None,
     jax.block_until_ready(model.xyz)
     wall = time.time() - t0
     return model, dict(iterations=o.iterations, wall_s=wall, it_per_s=o.iterations / wall)
+
+
+def _guard_finite(lossf: float, it: int, model, model_path: str):
+    """Failure detection: a non-finite loss aborts the run with an emergency
+    checkpoint instead of silently optimizing garbage (the reference has no
+    such guard — SURVEY aux subsystems)."""
+    if np.isfinite(lossf):
+        return
+    if model_path:
+        try:
+            save(model, model_path, it)
+        except Exception:
+            pass
+    raise FloatingPointError(
+        f"non-finite loss {lossf} at iteration {it}"
+        + (f"; emergency checkpoint saved under {model_path}" if model_path else ""))
 
 
 def save(model: BackgroundModel, model_path: str, iteration: int):

@@ -390,6 +390,10 @@ def _phase_c(cfg, scene_info, state, visual, attrs, bg, raster_cfg, params,
                     # add_images (train_physical_particle.py:699-741)
                     writer.add_image("render/test_view", img0, t)
         metrics_per_frame.append(frame_metrics)
+        if not np.isfinite(float(loss)):
+            raise FloatingPointError(
+                f"non-finite loss at frame {t}; last good per-frame npy "
+                f"checkpoints are under {ckpt_path or '(no model_path)'}")
         log(f"frame {t}/{n_frames-1}: loss={float(loss):.5f} "
             f"hidden={int(state.num_alive)} visual={int(visual.num_alive)}")
         if ckpt_path:

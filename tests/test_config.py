@@ -41,3 +41,27 @@ def test_dump_roundtrip(tmp_path):
     back = read_dumped_config(path)
     assert back.optim.p0 == 3.25
     assert back.model.duration == 7
+
+
+def test_shipped_configs_load_and_pin_values():
+    """The generated minimal-override configs must keep loading against the
+    mirrored defaults; pin a few load-bearing hyperparameters."""
+    import glob
+    import os
+
+    from fluidnexus_tpu.core.config import load_config
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    paths = sorted(glob.glob(os.path.join(root, "*.json")))
+    assert len(paths) >= 14, paths
+    for p in paths:
+        load_config(p)  # no unknown keys / coercion errors
+
+    smoke = load_config(os.path.join(root, "smoke_dynamics.json"))
+    assert smoke.optim.solver_iterations > 0
+    assert smoke.optim.H > 0 and smoke.optim.p0 > 0
+    bg = load_config(os.path.join(root, "smoke_background.json"))
+    assert bg.model.model == "gm_background"
+    assert bg.model.init_pcd_bg is True
+    scalar = load_config(os.path.join(root, "scalar_dynamics.json"))
+    assert scalar.model.gray_image or scalar.model.loader in ("colmap", "scalar_real")

@@ -142,3 +142,31 @@ def test_multi_step_scan_matches_single_step(tmp_path):
     assert int(a.num_alive) == int(b.num_alive)
     np.testing.assert_allclose(np.asarray(a.xyz), np.asarray(b.xyz), atol=5e-5)
     np.testing.assert_allclose(np.asarray(a.color), np.asarray(b.color), atol=5e-5)
+
+
+def test_nan_guard_aborts_with_emergency_checkpoint(tmp_path):
+    """Failure detection: exploding loss -> FloatingPointError + PLY dump."""
+    cams, _ = synthetic_scene(n_cams=2, n_gauss=10)
+    info = SceneInfo(
+        point_cloud=np.random.default_rng(3).uniform(-0.5, 0.5, (32, 3)).astype(np.float32),
+        train_cameras=cams, test_cameras=cams[:1],
+        nerf_normalization={"radius": 3.0, "translate": np.zeros(3)},
+    )
+    cfg = Config()
+    cfg.model.model_path = str(tmp_path)
+    cfg.optim.iterations = 120
+    cfg.optim.densify_until_iter = 0
+    cfg.pipe.tile_capacity = 64
+    cfg.pipe.chunk = 16
+    cfg.pipe.dup_x = 3
+    cfg.pipe.dup_y = 3
+    # a NaN in the supervision data poisons the loss on the first chunk
+    cams[0].image = cams[0].image.copy()
+    cams[0].image[0, 0] = np.nan
+    cams[1].image = cams[1].image.copy()
+    cams[1].image[0, 0] = np.nan
+    bp = BackgroundParams(capacity=64)
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        train(cfg, info, bg_params=bp)
+    # emergency checkpoint landed
+    assert any("point_cloud" in d for d in os.listdir(tmp_path)), os.listdir(tmp_path)
