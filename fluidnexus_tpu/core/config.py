@@ -278,6 +278,8 @@ class PipelineConfig:
     tile_capacity: int = 512
     dup_x: int = 8
     dup_y: int = 8
+    tile_x: int = 16
+    tile_y: int = 16
     chunk: int = 32
     backend: str = "auto"   # xla | pallas | auto (pallas kernels on TPU)
 

@@ -274,7 +274,14 @@ def _run_fwd(xy, con, op, col, dep, live, tiles_x, tile_x, tile_y):
     assert p % LANE == 0, p
     blk = min(BLOCK, k)
     assert k % blk == 0, (k, blk)
-    tpb = min(TILES_PER_PROGRAM, max(num_tiles, 1))
+    # adaptive tiles/program: the fwd VMEM footprint grows with K*P for
+    # K>256 (measured OK: K256 at any P with tpb 8, K384/P512 at tpb 5;
+    # OOM: K384/P512 tpb 8 at 18.06M vs the 16M scoped limit)
+    if k <= 256:
+        cap = TILES_PER_PROGRAM
+    else:
+        cap = max(1, 16 * 65536 // (k * p))
+    tpb = min(TILES_PER_PROGRAM, max(num_tiles, 1), cap)
     (xy, con, opv, col, depv, livev), nt = _pad_tiles(
         [xy, con, op[..., None], col, dep[..., None], live[..., None]], num_tiles, tpb)
     kern = functools.partial(_fwd_kernel, tiles_x, tile_x, tile_y, channels, blk, tpb)

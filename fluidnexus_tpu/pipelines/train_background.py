@@ -161,7 +161,8 @@ def train(cfg: Config, scene_info: SceneInfo, writer=None,
         rotation_lr=o.rotation_lr, densify_grad_threshold=o.densify_grad_threshold,
     )
     raster_cfg = RasterizerConfig(
-        tile_capacity=cfg.pipe.tile_capacity, dup_x=cfg.pipe.dup_x, dup_y=cfg.pipe.dup_y,
+        tile_capacity=cfg.pipe.tile_capacity,
+        tile_x=cfg.pipe.tile_x, tile_y=cfg.pipe.tile_y, dup_x=cfg.pipe.dup_x, dup_y=cfg.pipe.dup_y,
         chunk=cfg.pipe.chunk, backend=cfg.pipe.backend,
     )
 

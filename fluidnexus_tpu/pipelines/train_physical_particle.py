@@ -215,7 +215,8 @@ def train(cfg: Config, scene_info=None, writer=None, log=print, resume_from_fram
     o, m = cfg.optim, cfg.model
     params = pbf_params_from_config(cfg)
     raster_cfg = RasterizerConfig(
-        tile_capacity=cfg.pipe.tile_capacity, dup_x=cfg.pipe.dup_x, dup_y=cfg.pipe.dup_y,
+        tile_capacity=cfg.pipe.tile_capacity,
+        tile_x=cfg.pipe.tile_x, tile_y=cfg.pipe.tile_y, dup_x=cfg.pipe.dup_x, dup_y=cfg.pipe.dup_y,
         chunk=cfg.pipe.chunk, backend=cfg.pipe.backend,
     )
     rng = np.random.default_rng(cfg.seed)

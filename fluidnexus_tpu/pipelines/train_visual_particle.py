@@ -112,7 +112,8 @@ def make_level_two_step(bg, raster_cfg, width, height, o, fit_fields):
 
 def train(cfg: Config, scene_info=None, log=print, writer=None):
     o, m = cfg.optim, cfg.model
-    raster_cfg = RasterizerConfig(tile_capacity=cfg.pipe.tile_capacity, dup_x=cfg.pipe.dup_x,
+    raster_cfg = RasterizerConfig(tile_capacity=cfg.pipe.tile_capacity,
+        tile_x=cfg.pipe.tile_x, tile_y=cfg.pipe.tile_y, dup_x=cfg.pipe.dup_x,
                                   dup_y=cfg.pipe.dup_y, chunk=cfg.pipe.chunk,
                                   backend=cfg.pipe.backend)
     rng = np.random.default_rng(cfg.seed)
