@@ -109,10 +109,12 @@ def _fwd_one(tiles_x, tile_x, tile_y, channels, block, tl,
     p = tile_x * tile_y
     g_mat, _, _ = _pixel_monomials(t, tiles_x, tile_x, tile_y, p)
 
-    f_mat = _quadratic_coeffs(xy_ref[tl], con_ref[tl])
-    power = jnp.dot(f_mat, g_mat, preferred_element_type=jnp.float32)  # (K,P)
-    a_eff, ok, _ = _alphas(power, op_ref[tl], live_ref[tl])
-    log1m = jnp.log(jnp.maximum(1.0 - a_eff, LOG_EPS))
+    # block-streamed: per-block power/alpha are recomputed inside the loop so
+    # VMEM holds O(BLOCK*P) working set, never the full (K,P) — this is what
+    # lets big tiles (32x32+) and K>256 fit the 16M scoped limit
+    f_mat = _quadratic_coeffs(xy_ref[tl], con_ref[tl])                # (K,6)
+    op = op_ref[tl]
+    live = live_ref[tl]
 
     lt = _tri_lower(block)
     log_t = jnp.zeros((1, p), jnp.float32)
@@ -122,14 +124,16 @@ def _fwd_one(tiles_x, tile_x, tile_y, channels, block, tl,
 
     for b in range(k // block):
         sl = slice(b * block, (b + 1) * block)
-        l_blk = log1m[sl]                                            # (B,P)
+        power_b = jnp.dot(f_mat[sl], g_mat, preferred_element_type=jnp.float32)  # (B,P)
+        a_b, ok_b, _ = _alphas(power_b, op[sl], live[sl])
+        l_blk = jnp.log(jnp.maximum(1.0 - a_b, LOG_EPS))             # (B,P)
         excl = jnp.dot(lt, l_blk, preferred_element_type=jnp.float32)
         log_before = log_t + excl                                    # (B,P)
         t_before = jnp.exp(log_before)
         t_after = jnp.exp(log_before + l_blk)
-        w = a_eff[sl] * t_before * (t_before >= 1e-4)
+        w = a_b * t_before * (t_before >= 1e-4)
         accum += jnp.dot(col_ref[tl][sl].T, w, preferred_element_type=jnp.float32)
-        cross = ((t_before > 0.5) & (t_after < 0.5) & ok[sl]).astype(jnp.float32)
+        cross = ((t_before > 0.5) & (t_after < 0.5) & ok_b).astype(jnp.float32)
         med_num += jnp.dot(dep_ref[tl][sl].T, cross, preferred_element_type=jnp.float32)
         med_any += jnp.sum(cross, axis=0, keepdims=True)
         log_t = log_t + jnp.sum(l_blk, axis=0, keepdims=True)
@@ -166,21 +170,28 @@ def _bwd_one(tiles_x, tile_x, tile_y, channels, block, tl,
     con = con_ref[tl]
     op = op_ref[tl]
     col = col_ref[tl]
-    f_mat = _quadratic_coeffs(xy, con)
-    power = jnp.dot(f_mat, g_mat, preferred_element_type=jnp.float32)
-    a_eff, ok, raw = _alphas(power, op, live_ref[tl])
-    log1m = jnp.log(jnp.maximum(1.0 - a_eff, LOG_EPS))
+    live = live_ref[tl]
+    f_mat = _quadratic_coeffs(xy, con)                               # (K,6)
+
+    def block_state(sl):
+        """Recompute the per-block (B,P) quantities — block streaming keeps
+        VMEM at O(BLOCK*P) instead of O(K*P), trading one extra small matmul
+        per sweep for the capacity to run big tiles."""
+        power_b = jnp.dot(f_mat[sl], g_mat, preferred_element_type=jnp.float32)
+        a_b, ok_b, raw_b = _alphas(power_b, op[sl], live[sl])
+        l_b = jnp.log(jnp.maximum(1.0 - a_b, LOG_EPS))
+        return power_b, a_b, ok_b, raw_b, l_b
 
     lt = _tri_lower(block)
     # forward sweep: per-block log-carry starts
     carries = [jnp.zeros((1, p), jnp.float32)]
     for b in range(nb):
         sl = slice(b * block, (b + 1) * block)
-        carries.append(carries[-1] + jnp.sum(log1m[sl], axis=0, keepdims=True))
+        _, _, _, _, l_b = block_state(sl)
+        carries.append(carries[-1] + jnp.sum(l_b, axis=0, keepdims=True))
     t_final = jnp.exp(carries[-1])
 
     gacc = gacc_ref[tl]                                              # (C,P)
-    gdotcol = jnp.dot(col, gacc, preferred_element_type=jnp.float32)  # (K,P)
     g_t_term = gft_ref[tl] * t_final                                  # (1,P)
 
     # per-pixel moment basis for grad reductions: Gm^T = [1, px, py]
@@ -199,24 +210,24 @@ def _bwd_one(tiles_x, tile_x, tile_y, channels, block, tl,
 
     for b in range(nb - 1, -1, -1):
         sl = slice(b * block, (b + 1) * block)
-        l_blk = log1m[sl]
+        power_b, a_blk, ok_b, raw_b, l_blk = block_state(sl)
+        gdotcol_b = jnp.dot(col[sl], gacc, preferred_element_type=jnp.float32)  # (B,P)
         excl = jnp.dot(lt, l_blk, preferred_element_type=jnp.float32)
         t_before = jnp.exp(carries[b] + excl)                        # (B,P)
         alive = t_before >= 1e-4
-        a_blk = a_eff[sl]
         w = a_blk * t_before * alive
-        q = gdotcol[sl] * w                                          # (B,P)
+        q = gdotcol_b * w                                            # (B,P)
         # suffix within block (j > i) + suffix from later blocks (s_dot)
         s_blk = jnp.dot(su, q, preferred_element_type=jnp.float32) + s_dot
 
         one_minus = jnp.maximum(1.0 - a_blk, 0.01)
-        da = gdotcol[sl] * t_before * alive - (s_blk + g_t_term) / one_minus
-        not_clamped = raw[sl] < 0.99
-        da = jnp.where(ok[sl] & not_clamped, da, 0.0)
+        da = gdotcol_b * t_before * alive - (s_blk + g_t_term) / one_minus
+        not_clamped = raw_b < 0.99
+        da = jnp.where(ok_b & not_clamped, da, 0.0)
         dpower = da * a_blk                                          # (B,P)
 
-        dop_blk = jnp.sum(jnp.where(ok[sl] & not_clamped,
-                                    da * jnp.exp(power[sl]), 0.0), axis=1, keepdims=True)
+        dop_blk = jnp.sum(jnp.where(ok_b & not_clamped,
+                                    da * jnp.exp(power_b), 0.0), axis=1, keepdims=True)
         m = jnp.dot(dpower, gm.T, preferred_element_type=jnp.float32)  # (B,3): [m0, mx, my]
         m2 = jnp.dot(dpower, (gm * gm[1:2]).T, preferred_element_type=jnp.float32)
         # m2 columns: [sum dp*px, sum dp*px^2, sum dp*px*py]
@@ -274,13 +285,11 @@ def _run_fwd(xy, con, op, col, dep, live, tiles_x, tile_x, tile_y):
     assert p % LANE == 0, p
     blk = min(BLOCK, k)
     assert k % blk == 0, (k, blk)
-    # adaptive tiles/program: the fwd VMEM footprint grows with K*P for
-    # K>256 (measured OK: K256 at any P with tpb 8, K384/P512 at tpb 5;
-    # OOM: K384/P512 tpb 8 at 18.06M vs the 16M scoped limit)
-    if k <= 256:
-        cap = TILES_PER_PROGRAM
-    else:
-        cap = max(1, 16 * 65536 // (k * p))
+    # adaptive tiles/program: with block streaming the fwd working set is
+    # ~8 live (BLOCK,P) f32 arrays per tile plus the 6 lane-padded (K,·)
+    # input buffers (~3KB per K row); budget 12M of the 16M scoped VMEM
+    per_tile = 32 * blk * p + 3072 * k
+    cap = max(1, (12 << 20) // per_tile)
     tpb = min(TILES_PER_PROGRAM, max(num_tiles, 1), cap)
     (xy, con, opv, col, depv, livev), nt = _pad_tiles(
         [xy, con, op[..., None], col, dep[..., None], live[..., None]], num_tiles, tpb)
