@@ -204,7 +204,6 @@ def _bwd_one(tiles_x, tile_x, tile_y, channels, block, tl,
     cc = con[:, 2:3]
 
     s_dot = jnp.zeros((1, p), jnp.float32)
-    parts = {}
 
     su = _tri_lower(block).T  # strictly upper: row i sums j > i
 
@@ -250,19 +249,14 @@ def _bwd_one(tiles_x, tile_x, tile_y, channels, block, tl,
         dxg = -(cab * (xb * m0 - mx) + cbb * (yb * m0 - my))
         dyg = -(ccb * (yb * m0 - my) + cbb * (xb * m0 - mx))
 
-        parts[b] = (
-            jnp.concatenate([dxg, dyg], axis=1),
-            jnp.concatenate([dca, dcb, dcc], axis=1),
-            dop_blk,
-            jnp.dot(w, gacc.T, preferred_element_type=jnp.float32),
-        )
+        # write straight to the output refs (static slices): keeps only the
+        # (1,P) carries live across unrolled block iterations, so the stack
+        # slots of each block's temporaries can be reused
+        dxy_ref[tl, sl] = jnp.concatenate([dxg, dyg], axis=1)
+        dcon_ref[tl, sl] = jnp.concatenate([dca, dcb, dcc], axis=1)
+        dop_ref[tl, sl] = dop_blk
+        dcol_ref[tl, sl] = jnp.dot(w, gacc.T, preferred_element_type=jnp.float32)
         s_dot = s_dot + jnp.sum(q, axis=0, keepdims=True)
-
-    order = list(range(nb))
-    dxy_ref[tl] = jnp.concatenate([parts[b][0] for b in order], axis=0)
-    dcon_ref[tl] = jnp.concatenate([parts[b][1] for b in order], axis=0)
-    dop_ref[tl] = jnp.concatenate([parts[b][2] for b in order], axis=0)
-    dcol_ref[tl] = jnp.concatenate([parts[b][3] for b in order], axis=0)
 
 
 def _block(*shape):
