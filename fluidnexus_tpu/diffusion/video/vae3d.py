@@ -14,7 +14,15 @@ TPU redesign:
     ``apply(..., first_chunk=..., mutable=["cache"])`` per latent chunk and
     the causal convs stay continuous across chunks;
   - true context parallelism over time (the reference's NCCL P2P halo,
-    :199-242) is shard_map + ppermute in fluidnexus_tpu/parallel.
+    :199-242): every module takes an optional ``cp: CPState``; under a
+    shard_map over the 'time' mesh axis, causal convs halo-exchange via
+    ppermute, group norms psum their statistics (masked to real frames),
+    and the temporal down/upsamplers run their uniform branch. The odd
+    first frame is handled by FRONT-PADDING the sequence with replicated
+    copies of frame 0 (pad count odd, so pooling pairs stay aligned and
+    the pad region keeps collapsing onto frame 0) — the time-sharded pass
+    is then EXACTLY equal to the serial one. See parallel/cp.py
+    cp_vae_encode/cp_vae_decode for the entry points.
 """
 from __future__ import annotations
 
@@ -25,6 +33,28 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class CPState:
+    """Context-parallel state threaded through the VAE modules.
+
+    axis: mesh axis name the time dimension is sharded over.
+    pad:  number of replicated-frame-0 pad frames at the CURRENT temporal
+          resolution (evolves: (p+1)//2 - 1 per temporal downsample,
+          2*p + 1 per temporal upsample).
+    n:    number of shards on the axis (static).
+    """
+
+    axis: str
+    pad: int
+    n: int
+
+    def downsampled(self) -> "CPState":
+        return dataclasses.replace(self, pad=(self.pad + 1) // 2 - 1)
+
+    def upsampled(self) -> "CPState":
+        return dataclasses.replace(self, pad=2 * self.pad + 1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -51,19 +81,27 @@ class VAE3DConfig:
 
 class CausalConv3d(nn.Module):
     """3D conv, causal in time: pads (k_t - 1) frames on the left with either
-    the running cache (chunked decode) or a replicate of the first frame
-    (_fake_cp_pass_from_previous_rank, cp_enc_dec.py:243-291)."""
+    the running cache (chunked decode), a replicate of the first frame
+    (_fake_cp_pass_from_previous_rank, cp_enc_dec.py:243-291), or — under
+    context parallelism — the previous time-shard's tail via ppermute
+    (_pass_from_previous_rank, cp_enc_dec.py:199-242)."""
 
     features: int
     kernel_size: Tuple[int, int, int] = (3, 3, 3)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, first_chunk: bool = True):
+    def __call__(self, x, first_chunk: bool = True, cp: Optional[CPState] = None):
         kt, kh, kw = self.kernel_size
         b, t, h, w, c = x.shape
         pad_t = kt - 1
-        if pad_t > 0:
+        if pad_t > 0 and cp is not None:
+            from fluidnexus_tpu.parallel.cp import halo_exchange_time
+
+            # shard 0's front pad replicates its first local frame, which under
+            # the front-pad layout IS frame 0 — identical to the serial pad
+            xp = halo_exchange_time(x, kt, cp.axis)
+        elif pad_t > 0:
             cache = self.variable("cache", "pad", lambda: jnp.zeros((b, pad_t, h, w, c), x.dtype))
             if first_chunk:
                 front = jnp.repeat(x[:, :1], pad_t, axis=1)
@@ -79,12 +117,25 @@ class CausalConv3d(nn.Module):
                        dtype=self.dtype, name="conv")(xp)
 
 
-def group_norm(x, scale, bias, groups=32, eps=1e-6):
+def group_norm(x, scale, bias, groups=32, eps=1e-6, cp: Optional[CPState] = None):
+    """GroupNorm over (t, h, w, c//groups). Under CP the statistics are
+    psum'd across time shards and masked to REAL frames (the front pads are
+    replicated frame-0 copies that must not bias the moments)."""
     b, t, h, w, c = x.shape
     groups = min(groups, c)
     xg = x.astype(jnp.float32).reshape(b, t, h, w, groups, c // groups)
-    mu = xg.mean((1, 2, 3, 5), keepdims=True)
-    var = ((xg - mu) ** 2).mean((1, 2, 3, 5), keepdims=True)
+    if cp is None:
+        mu = xg.mean((1, 2, 3, 5), keepdims=True)
+        var = ((xg - mu) ** 2).mean((1, 2, 3, 5), keepdims=True)
+    else:
+        gidx = jax.lax.axis_index(cp.axis) * t + jnp.arange(t)
+        mask = (gidx >= cp.pad).astype(jnp.float32).reshape(1, t, 1, 1, 1, 1)
+        s1 = (xg * mask).sum((1, 2, 3, 5), keepdims=True)
+        s2 = (xg * xg * mask).sum((1, 2, 3, 5), keepdims=True)
+        cnt = mask.sum() * (h * w * (c // groups))
+        s1, s2, cnt = jax.lax.psum((s1, s2, cnt), cp.axis)
+        mu = s1 / cnt
+        var = jnp.maximum(s2 / cnt - mu * mu, 0.0)
     xn = ((xg - mu) * jax.lax.rsqrt(var + eps)).reshape(b, t, h, w, c)
     return (xn * scale + bias).astype(x.dtype)
 
@@ -96,18 +147,21 @@ class Norm3D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, zq=None, first_chunk: bool = True):
+    def __call__(self, x, zq=None, first_chunk: bool = True, cp: Optional[CPState] = None):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        h = group_norm(x, scale, bias)
+        h = group_norm(x, scale, bias, cp=cp)
         if zq is None:
             return h
         # resize zq to x's (t, h, w); first frame kept separate when the
-        # temporal sizes differ (SpatialNorm3D forward, :476-520)
+        # temporal sizes differ (SpatialNorm3D forward, :476-520). Under CP
+        # both t axes are front-padded to shard-uniform EVEN lengths, so the
+        # plain per-shard nearest resize reproduces the serial split exactly
+        # (integer upscale nearest is blockwise, and shard boundaries align).
         zt, xt = zq.shape[1], x.shape[1]
         if (zt, zq.shape[2], zq.shape[3]) != (x.shape[1], x.shape[2], x.shape[3]):
-            if xt > zt and xt % 2 == 1:
+            if cp is None and xt > zt and xt % 2 == 1:
                 z_first = jax.image.resize(zq[:, :1], (zq.shape[0], 1) + x.shape[2:4] + (zq.shape[-1],),
                                            "nearest")
                 z_rest = jax.image.resize(zq[:, 1:], (zq.shape[0], xt - 1) + x.shape[2:4] + (zq.shape[-1],),
@@ -115,8 +169,8 @@ class Norm3D(nn.Module):
                 zq = jnp.concatenate([z_first, z_rest], 1)
             else:
                 zq = jax.image.resize(zq, (zq.shape[0], xt) + x.shape[2:4] + (zq.shape[-1],), "nearest")
-        conv_y = CausalConv3d(c, (1, 1, 1), dtype=self.dtype, name="conv_y")(zq, first_chunk)
-        conv_b = CausalConv3d(c, (1, 1, 1), dtype=self.dtype, name="conv_b")(zq, first_chunk)
+        conv_y = CausalConv3d(c, (1, 1, 1), dtype=self.dtype, name="conv_y")(zq, first_chunk, cp)
+        conv_b = CausalConv3d(c, (1, 1, 1), dtype=self.dtype, name="conv_b")(zq, first_chunk, cp)
         return h * conv_y + conv_b
 
 
@@ -128,14 +182,14 @@ class ResnetBlock3D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, zq=None, first_chunk: bool = True):
+    def __call__(self, x, zq=None, first_chunk: bool = True, cp: Optional[CPState] = None):
         c_in = x.shape[-1]
-        h = Norm3D(self.zq_ch, dtype=self.dtype, name="norm1")(x, zq, first_chunk)
+        h = Norm3D(self.zq_ch, dtype=self.dtype, name="norm1")(x, zq, first_chunk, cp)
         h = nn.silu(h)
-        h = CausalConv3d(self.out_channels, dtype=self.dtype, name="conv1")(h, first_chunk)
-        h = Norm3D(self.zq_ch, dtype=self.dtype, name="norm2")(h, zq, first_chunk)
+        h = CausalConv3d(self.out_channels, dtype=self.dtype, name="conv1")(h, first_chunk, cp)
+        h = Norm3D(self.zq_ch, dtype=self.dtype, name="norm2")(h, zq, first_chunk, cp)
         h = nn.silu(h)
-        h = CausalConv3d(self.out_channels, dtype=self.dtype, name="conv2")(h, first_chunk)
+        h = CausalConv3d(self.out_channels, dtype=self.dtype, name="conv2")(h, first_chunk, cp)
         if c_in != self.out_channels:
             x = nn.Dense(self.out_channels, dtype=self.dtype, name="nin_shortcut")(x)
         return x + h
@@ -149,9 +203,15 @@ class DownSample3D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, first_chunk: bool = True):
-        if self.compress_time and x.shape[1] > 1:
-            if x.shape[1] % 2 == 1 and first_chunk:
+    def __call__(self, x, first_chunk: bool = True, cp: Optional[CPState] = None):
+        t_total = x.shape[1] * (cp.n if cp is not None else 1)
+        if self.compress_time and t_total > 1:
+            if cp is not None:
+                # front-padded even layout: pairs never straddle shards
+                # (local t and shard offsets both even)
+                assert x.shape[1] % 2 == 0, "CP temporal pool needs even local t"
+                x = (x[:, 0::2] + x[:, 1::2]) / 2.0
+            elif x.shape[1] % 2 == 1 and first_chunk:
                 first, rest = x[:, :1], x[:, 1:]
                 if rest.shape[1] > 0:
                     rest = (rest[:, 0::2] + rest[:, 1::2]) / 2.0
@@ -174,14 +234,17 @@ class Upsample3D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, first_chunk: bool = True):
+    def __call__(self, x, first_chunk: bool = True, cp: Optional[CPState] = None):
         b, t, h, w, c = x.shape
-        if self.compress_time and t > 1:
-            if t % 2 == 1 and first_chunk:
+        t_total = t * (cp.n if cp is not None else 1)
+        if self.compress_time and t_total > 1:
+            if cp is None and t % 2 == 1 and first_chunk:
                 first = jax.image.resize(x[:, :1], (b, 1, h * 2, w * 2, c), "nearest")
                 rest = jax.image.resize(x[:, 1:], (b, (t - 1) * 2, h * 2, w * 2, c), "nearest")
                 x = jnp.concatenate([first, rest], 1)
             else:
+                # CP: plain per-shard doubling; the serial first-frame
+                # non-duplication is absorbed by the pad region (2p+1 pads)
                 x = jax.image.resize(x, (b, t * 2, h * 2, w * 2, c), "nearest")
         else:
             x = jax.image.resize(x, (b, t, h * 2, w * 2, c), "nearest")
@@ -197,23 +260,26 @@ class Encoder3D(nn.Module):
     cfg: VAE3DConfig
 
     @nn.compact
-    def __call__(self, x, first_chunk: bool = True):
+    def __call__(self, x, first_chunk: bool = True, cp: Optional[CPState] = None):
         c = self.cfg
-        h = CausalConv3d(c.ch, dtype=c.dtype, name="conv_in")(x, first_chunk)
+        h = CausalConv3d(c.ch, dtype=c.dtype, name="conv_in")(x, first_chunk, cp)
         for i_level in range(c.num_resolutions):
             block_out = c.ch * c.ch_mult[i_level]
             for i_block in range(c.num_res_blocks):
                 h = ResnetBlock3D(block_out, dtype=c.dtype,
-                                  name=f"down_{i_level}_block_{i_block}")(h, None, first_chunk)
+                                  name=f"down_{i_level}_block_{i_block}")(h, None, first_chunk, cp)
             if i_level != c.num_resolutions - 1:
-                h = DownSample3D(compress_time=i_level < c.temporal_compress_level,
-                                 dtype=c.dtype, name=f"down_{i_level}_downsample")(h, first_chunk)
-        h = ResnetBlock3D(h.shape[-1], dtype=c.dtype, name="mid_block_1")(h, None, first_chunk)
-        h = ResnetBlock3D(h.shape[-1], dtype=c.dtype, name="mid_block_2")(h, None, first_chunk)
-        h = Norm3D(dtype=c.dtype, name="norm_out")(h, None, first_chunk)
+                compress = i_level < c.temporal_compress_level
+                h = DownSample3D(compress_time=compress,
+                                 dtype=c.dtype, name=f"down_{i_level}_downsample")(h, first_chunk, cp)
+                if compress and cp is not None:
+                    cp = cp.downsampled()
+        h = ResnetBlock3D(h.shape[-1], dtype=c.dtype, name="mid_block_1")(h, None, first_chunk, cp)
+        h = ResnetBlock3D(h.shape[-1], dtype=c.dtype, name="mid_block_2")(h, None, first_chunk, cp)
+        h = Norm3D(dtype=c.dtype, name="norm_out")(h, None, first_chunk, cp)
         h = nn.silu(h)
         out_ch = 2 * c.z_channels if c.double_z else c.z_channels
-        return CausalConv3d(out_ch, dtype=c.dtype, name="conv_out")(h, first_chunk)
+        return CausalConv3d(out_ch, dtype=c.dtype, name="conv_out")(h, first_chunk, cp)
 
 
 class Decoder3D(nn.Module):
@@ -223,27 +289,29 @@ class Decoder3D(nn.Module):
     cfg: VAE3DConfig
 
     @nn.compact
-    def __call__(self, z, first_chunk: bool = True):
+    def __call__(self, z, first_chunk: bool = True, cp: Optional[CPState] = None):
         c = self.cfg
         zq = z
         block_in = c.ch * c.ch_mult[-1]
-        h = CausalConv3d(block_in, dtype=c.dtype, name="conv_in")(z, first_chunk)
+        h = CausalConv3d(block_in, dtype=c.dtype, name="conv_in")(z, first_chunk, cp)
         h = ResnetBlock3D(block_in, zq_ch=c.z_channels, dtype=c.dtype,
-                          name="mid_block_1")(h, zq, first_chunk)
+                          name="mid_block_1")(h, zq, first_chunk, cp)
         h = ResnetBlock3D(block_in, zq_ch=c.z_channels, dtype=c.dtype,
-                          name="mid_block_2")(h, zq, first_chunk)
+                          name="mid_block_2")(h, zq, first_chunk, cp)
         for i_level in reversed(range(c.num_resolutions)):
             block_out = c.ch * c.ch_mult[i_level]
             for i_block in range(c.num_res_blocks + 1):
                 h = ResnetBlock3D(block_out, zq_ch=c.z_channels, dtype=c.dtype,
-                                  name=f"up_{i_level}_block_{i_block}")(h, zq, first_chunk)
+                                  name=f"up_{i_level}_block_{i_block}")(h, zq, first_chunk, cp)
             if i_level != 0:
                 compress = i_level >= c.num_resolutions - c.temporal_compress_level
                 h = Upsample3D(compress_time=compress, dtype=c.dtype,
-                               name=f"up_{i_level}_upsample")(h, first_chunk)
-        h = Norm3D(zq_ch=c.z_channels, dtype=c.dtype, name="norm_out")(h, zq, first_chunk)
+                               name=f"up_{i_level}_upsample")(h, first_chunk, cp)
+                if compress and cp is not None:
+                    cp = cp.upsampled()
+        h = Norm3D(zq_ch=c.z_channels, dtype=c.dtype, name="norm_out")(h, zq, first_chunk, cp)
         h = nn.silu(h)
-        return CausalConv3d(c.out_channels, dtype=c.dtype, name="conv_out")(h, first_chunk)
+        return CausalConv3d(c.out_channels, dtype=c.dtype, name="conv_out")(h, first_chunk, cp)
 
 
 class VideoVAE(nn.Module):
@@ -257,8 +325,8 @@ class VideoVAE(nn.Module):
         self.encoder = Encoder3D(self.cfg)
         self.decoder = Decoder3D(self.cfg)
 
-    def encode(self, x, rng=None, first_chunk=True, sample=True):
-        moments = self.encoder(x, first_chunk)
+    def encode(self, x, rng=None, first_chunk=True, sample=True, cp: Optional[CPState] = None):
+        moments = self.encoder(x, first_chunk, cp)
         mean, logvar = jnp.split(moments, 2, axis=-1)
         if sample and rng is not None:
             z = mean + jnp.exp(0.5 * jnp.clip(logvar, -30, 20)) * jax.random.normal(rng, mean.shape)
@@ -266,8 +334,8 @@ class VideoVAE(nn.Module):
             z = mean
         return z * self.cfg.scale_factor
 
-    def decode(self, z, first_chunk=True):
-        return self.decoder(z / self.cfg.scale_factor, first_chunk)
+    def decode(self, z, first_chunk=True, cp: Optional[CPState] = None):
+        return self.decoder(z / self.cfg.scale_factor, first_chunk, cp)
 
     def __call__(self, x, rng=None):
         z = self.encode(x, rng)

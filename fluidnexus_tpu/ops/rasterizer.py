@@ -99,56 +99,94 @@ def project_gaussians(
     xy_offset=None,
 ):
     """Vectorized preprocess: world -> screen. Mirrors preprocessCUDA
-    (forward.cu:149-248) semantics; see module docstring for the math."""
-    from fluidnexus_tpu.utils.maths import covariance_from_scaling_rotation
+    (forward.cu:149-248) semantics; see module docstring for the math.
 
+    TPU layout note: every intermediate is a flat (N,) vector — N rides the
+    128-lane axis, so the whole preprocess fuses into a couple of full-width
+    elementwise kernels. The naive (N,3)/(N,3,3) batched-matmul formulation
+    pads the trailing dim 3 -> 128 lanes (42x wasted lanes) and measured ~6x
+    slower end-to-end (fwd+bwd) on v5e.
+    """
     f32 = jnp.float32
-    means3d = means3d.astype(f32)
-    p_view = _transform_rows(means3d, view_matrix.astype(f32))
-    in_front = p_view[:, 2] > near
+    mt = means3d.astype(f32).T                       # (3,N)
+    mx, my, mz = mt[0], mt[1], mt[2]
+    vm = view_matrix.astype(f32)
+    pvx = mx * vm[0, 0] + my * vm[1, 0] + mz * vm[2, 0] + vm[3, 0]
+    pvy = mx * vm[0, 1] + my * vm[1, 1] + mz * vm[2, 1] + vm[3, 1]
+    tz = mx * vm[0, 2] + my * vm[1, 2] + mz * vm[2, 2] + vm[3, 2]
+    in_front = tz > near
 
-    p_hom = jnp.concatenate([means3d, jnp.ones_like(means3d[:, :1])], -1) @ proj_matrix.astype(f32)
-    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
-    p_proj = p_hom[:, :3] * p_w[:, None]
+    pm = proj_matrix.astype(f32)
+    hx = mx * pm[0, 0] + my * pm[1, 0] + mz * pm[2, 0] + pm[3, 0]
+    hy = mx * pm[0, 1] + my * pm[1, 1] + mz * pm[2, 1] + pm[3, 1]
+    hw = mx * pm[0, 3] + my * pm[1, 3] + mz * pm[2, 3] + pm[3, 3]
+    p_w = 1.0 / (hw + 1e-7)
 
+    # world-space covariance Sigma = R diag(s^2) R^T, expanded per element
+    # (computeCov3D, forward.cu:116-149; quat convention general_utils.py:113)
     if cov3d is None:
-        cov3d = covariance_from_scaling_rotation(scale_modifier * scales, 1.0, rotations)  # (N,3,3)
+        st = (scale_modifier * scales).astype(f32).T  # (3,N)
+        s0, s1, s2 = st[0] ** 2, st[1] ** 2, st[2] ** 2
+        qt = rotations.astype(f32).T                  # (4,N)
+        qr, qx, qy, qz = qt[0], qt[1], qt[2], qt[3]
+        qn = jax.lax.rsqrt(jnp.maximum(qr * qr + qx * qx + qy * qy + qz * qz, 1e-24))
+        qr, qx, qy, qz = qr * qn, qx * qn, qy * qn, qz * qn
+        r00 = 1 - 2 * (qy * qy + qz * qz)
+        r01 = 2 * (qx * qy - qr * qz)
+        r02 = 2 * (qx * qz + qr * qy)
+        r10 = 2 * (qx * qy + qr * qz)
+        r11 = 1 - 2 * (qx * qx + qz * qz)
+        r12 = 2 * (qy * qz - qr * qx)
+        r20 = 2 * (qx * qz - qr * qy)
+        r21 = 2 * (qy * qz + qr * qx)
+        r22 = 1 - 2 * (qx * qx + qy * qy)
+        c00 = s0 * r00 * r00 + s1 * r01 * r01 + s2 * r02 * r02
+        c01 = s0 * r00 * r10 + s1 * r01 * r11 + s2 * r02 * r12
+        c02 = s0 * r00 * r20 + s1 * r01 * r21 + s2 * r02 * r22
+        c11 = s0 * r10 * r10 + s1 * r11 * r11 + s2 * r12 * r12
+        c12 = s0 * r10 * r20 + s1 * r11 * r21 + s2 * r12 * r22
+        c22 = s0 * r20 * r20 + s1 * r21 * r21 + s2 * r22 * r22
+    else:
+        cov3d = cov3d.astype(f32)
+        c00, c01, c02 = cov3d[:, 0, 0], cov3d[:, 0, 1], cov3d[:, 0, 2]
+        c11, c12, c22 = cov3d[:, 1, 1], cov3d[:, 1, 2], cov3d[:, 2, 2]
 
     # EWA: cov2d = J R Sigma R^T J^T with the perspective Jacobian at the
     # frustum-clamped view point (computeCov2D, forward.cu:71-112).
     focal_x = width / (2.0 * tan_fovx)
     focal_y = height / (2.0 * tan_fovy)
-    tz = p_view[:, 2]
     # avoid 0-division for behind-camera points (they are culled anyway)
     tz_safe = jnp.where(jnp.abs(tz) < 1e-6, 1e-6, tz)
     limx, limy = 1.3 * tan_fovx, 1.3 * tan_fovy
-    tx = jnp.clip(p_view[:, 0] / tz_safe, -limx, limx) * tz
-    ty = jnp.clip(p_view[:, 1] / tz_safe, -limy, limy) * tz
+    tx = jnp.clip(pvx / tz_safe, -limx, limx) * tz
+    ty = jnp.clip(pvy / tz_safe, -limy, limy) * tz
 
     # R_wc: world->cam rotation. view_matrix is stored transposed (row conv),
-    # so rows of view_matrix[:3,:3] act on points from the right; the math
-    # rotation is its transpose... which is view_matrix[:3,:3] itself read
-    # column-wise. J @ R_wc as explicit (N,2,3):
-    r_wc = view_matrix[:3, :3].astype(f32).T  # (3,3) math world->cam rotation
+    # so the math rotation's rows are view_matrix[:3,:3]'s columns. Rows of
+    # JW = J @ R_wc expanded per element:
     z2 = tz_safe * tz_safe
     j00 = focal_x / tz_safe
     j02 = -(focal_x * tx) / z2
     j11 = focal_y / tz_safe
     j12 = -(focal_y * ty) / z2
-    zeros = jnp.zeros_like(j00)
-    J = jnp.stack(
-        [jnp.stack([j00, zeros, j02], -1), jnp.stack([zeros, j11, j12], -1)], -2
-    )  # (N,2,3)
-    # full f32 precision: these tiny batched matmuls otherwise hit the MXU in
-    # bf16 on TPU, which visibly distorts conics
-    hi = jax.lax.Precision.HIGHEST
-    JW = jnp.matmul(J, r_wc, precision=hi)  # (N,2,3)
-    cov2d = jnp.matmul(
-        jnp.matmul(JW, cov3d.astype(f32), precision=hi), jnp.swapaxes(JW, -1, -2), precision=hi
-    )  # (N,2,2)
-    cxx = cov2d[:, 0, 0] + 0.3
-    cyy = cov2d[:, 1, 1] + 0.3
-    cxy = cov2d[:, 0, 1]
+    w00, w01, w02 = vm[0, 0], vm[1, 0], vm[2, 0]   # r_wc row 0
+    w10, w11, w12 = vm[0, 1], vm[1, 1], vm[2, 1]
+    w20, w21, w22 = vm[0, 2], vm[1, 2], vm[2, 2]
+    a0 = j00 * w00 + j02 * w20
+    a1 = j00 * w01 + j02 * w21
+    a2 = j00 * w02 + j02 * w22
+    b0 = j11 * w10 + j12 * w20
+    b1 = j11 * w11 + j12 * w21
+    b2 = j11 * w12 + j12 * w22
+    # quadratic forms a^T Sigma a, a^T Sigma b, b^T Sigma b
+    sa0 = c00 * a0 + c01 * a1 + c02 * a2
+    sa1 = c01 * a0 + c11 * a1 + c12 * a2
+    sa2 = c02 * a0 + c12 * a1 + c22 * a2
+    cxx = a0 * sa0 + a1 * sa1 + a2 * sa2 + 0.3
+    cxy = b0 * sa0 + b1 * sa1 + b2 * sa2
+    cyy = (b0 * (c00 * b0 + c01 * b1 + c02 * b2)
+           + b1 * (c01 * b0 + c11 * b1 + c12 * b2)
+           + b2 * (c02 * b0 + c12 * b1 + c22 * b2) + 0.3)
 
     det = cxx * cyy - cxy * cxy
     det_safe = jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
@@ -159,8 +197,8 @@ def project_gaussians(
     lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam1, 0.0)))
 
-    px = ((p_proj[:, 0] + 1.0) * width - 1.0) * 0.5
-    py = ((p_proj[:, 1] + 1.0) * height - 1.0) * 0.5
+    px = ((hx * p_w + 1.0) * width - 1.0) * 0.5
+    py = ((hy * p_w + 1.0) * height - 1.0) * 0.5
     xy = jnp.stack([px, py], -1)
     if xy_offset is not None:
         # zero-valued hook: grad w.r.t. xy_offset is the screen-space mean
@@ -173,7 +211,7 @@ def project_gaussians(
     if alive is not None:
         valid = valid & alive
     radius = jnp.where(valid, radius, 0.0)
-    return Projected(xy=xy, conic=conic, depth=p_view[:, 2], radius=radius, valid=valid)
+    return Projected(xy=xy, conic=conic, depth=tz, radius=radius, valid=valid)
 
 
 def _tile_rects(proj: Projected, cfg: RasterizerConfig, tiles_x, tiles_y):

@@ -53,6 +53,78 @@ def cp_causal_conv_time(conv_fn: Callable, mesh: Mesh, kernel_t: int = 3):
     )
 
 
+def _front_pad(x, pad: int):
+    """Prepend `pad` replicated copies of frame 0 along the time axis."""
+    if pad == 0:
+        return x
+    return jnp.concatenate([jnp.repeat(x[:, :1], pad, axis=1), x], axis=1)
+
+
+def cp_vae_encode(vae, params, x, mesh: Mesh, axis: str = "time", sample=False, rng=None):
+    """Time-sharded (context-parallel) VideoVAE encode, EXACTLY equal to the
+    serial pass (parity: cp_enc_dec.py:137-242's split/halo scheme, redesigned
+    for uniform shard_map shards).
+
+    The causal VAE's first frame is special (replicate pad, unpooled,
+    unduplicated). Uniform shards are recovered by FRONT-PADDING the video
+    with P replicated copies of frame 0, P odd and T+P divisible by
+    n * 2^levels: pooling pairs then stay aligned (the pad block keeps
+    collapsing onto frame 0), halo exchanges carry exact neighbor frames, and
+    group-norm statistics psum over shards with the pads masked out.
+    x: (B, T, H, W, C) with T = 1 + k * temporal_compress_times.
+    """
+    from fluidnexus_tpu.diffusion.video.vae3d import CPState
+
+    n = mesh.shape[axis]
+    lv = vae.cfg.temporal_compress_level
+    t = x.shape[1]
+    assert t % 2 == 1, f"causal VAE expects odd frame count, got {t}"
+    mult = max(n << lv, 2)
+    pad = (-t) % mult  # odd: t odd, mult even
+    xp = _front_pad(x, pad)
+
+    def fn(p, xl, key):
+        return vae.apply({"params": p}, xl, rng=key, sample=sample,
+                         cp=CPState(axis, pad, n), method=vae.encode)
+
+    spec = P(None, axis, None, None, None)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    z = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(), params), spec, P()),
+        out_specs=spec, check_vma=False,
+    )(params, xp, rng)
+    pad_z = (pad + 1) // (1 << lv) - 1
+    return z[:, pad_z:]
+
+
+def cp_vae_decode(vae, params, z, mesh: Mesh, axis: str = "time"):
+    """Time-sharded VideoVAE decode, exactly equal to the serial pass (see
+    cp_vae_encode; decode only needs T_z + P divisible by n with P odd)."""
+    from fluidnexus_tpu.diffusion.video.vae3d import CPState
+
+    n = mesh.shape[axis]
+    lv = vae.cfg.temporal_compress_level
+    t = z.shape[1]
+    assert t % 2 == 1, f"causal VAE expects odd latent count, got {t}"
+    # smallest ODD pad with (t + pad) % n == 0 (odd t makes one exist for all n)
+    pad = next(p for p in range(1, 2 * n + 2, 2) if (t + p) % n == 0)
+    zp = _front_pad(z, pad)
+
+    def fn(p, zl):
+        return vae.apply({"params": p}, zl, cp=CPState(axis, pad, n), method=vae.decode)
+
+    spec = P(None, axis, None, None, None)
+    out = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(), params), spec),
+        out_specs=spec, check_vma=False,
+    )(params, zp)
+    pad_out = (pad + 1) * (1 << lv) - 1
+    return out[:, pad_out:]
+
+
 def cp_split_time(x, mesh: Mesh):
     """Lay the time axis out over the 'time' mesh axis (the reference's
     _conv_split, cp_enc_dec.py:137-163 — here just a sharding constraint)."""
