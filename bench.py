@@ -87,6 +87,38 @@ def main():
         jax.block_until_ready(g)
         fps = max(fps, iters / (time.perf_counter() - t0))
 
+    # FULL training iteration (render fwd+bwd + Adam update, one compiled
+    # graph — the reference's per-frame fit loop does exactly this per iter);
+    # secondary metric, printed BEFORE the headline line
+    import optax
+
+    opt = optax.adam(1e-3)
+    params = (means, cols, ops, scales, rots)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state):
+        grads = jax.grad(lambda q: loss(*q))(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state
+
+    p, s = train_step(params, opt_state)
+    jax.block_until_ready(p)
+    ips = 0.0
+    for _ in range(2):
+        p, s = params, opt_state
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            p, s = train_step(p, s)
+        jax.block_until_ready(p)
+        ips = max(ips, iters / (time.perf_counter() - t0))
+
+    print(json.dumps({
+        "metric": "train_step_iters_per_sec",
+        "value": round(ips, 3),
+        "unit": f"iters/s (full fit step: raster fwd+bwd + adam, 32768 gaussians, 960x544, {backend})",
+        "vs_baseline": round(ips / BASELINE_FPS, 4),
+    }))
     print(json.dumps({
         "metric": "raster_fwd_bwd_frames_per_sec_per_chip",
         "value": round(fps, 3),

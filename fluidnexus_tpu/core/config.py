@@ -36,7 +36,6 @@ class ModelConfig:
     white_background: bool = False
     random_background: bool = False
     eval: bool = False
-    model: str = "g_model"
     loader: str = "colmap"
     densify: int = 0
     start_time: int = 0
@@ -70,6 +69,9 @@ class ModelConfig:
     spherical_cam_start: int = 0
     spherical_cam_duration: int = 120
     spherical_cam_step: int = 1
+    # declared-but-unused in the REFERENCE as well (arguments/__init__.py:89
+    # sets is_circle and nothing reads it; circle_cameras_* never read):
+    # kept so reference config JSONs load unchanged
     is_circle: bool = False
     circle_cameras_around: str = ""
     circle_cameras_num: int = 0

@@ -40,6 +40,27 @@ CAMERA_HACKS = {
         "3": (-2.1, 4.8, 0.0),
         "4": (-5.5, 7.3, 0.0),
     },
+    # object capture, FIRST pose (c2w_1, reader :201-259): the smoke-phase
+    # corrections (they coincide with the smoke table)
+    "smoke_and_ball_object": {
+        "0": (7.0, -7.3, 0.0),
+        "1": (4.8, -4.8, 0.55),
+        "2": (0.0, 0.0, 1.15),
+        "3": (-2.2, 5.0, 0.5),
+        "4": (-4.2, 8.0, 0.0),
+    },
+}
+# object capture SECOND pose (c2w_2 -> R_2/T_2, reader :201-283), used from
+# data_2_since on: the ball-phase corrections (they coincide with the ball
+# table)
+CAMERA_HACKS_2 = {
+    "smoke_and_ball_object": {
+        "0": (7.0, -7.3, 0.0),
+        "1": (4.8, -4.8, 0.0),
+        "2": (2.0, 0.4, 0.0),
+        "3": (-2.1, 4.8, 0.0),
+        "4": (-5.5, 7.3, 0.0),
+    },
 }
 # Zero123 finetune checkpoint steps per capture (reader :318-338; ScalarReal
 # uses 15500 — scalar_real_reader.py:127)
@@ -58,10 +79,11 @@ def _rot4(axis: str, theta: float) -> np.ndarray:
     return m
 
 
-def apply_camera_hack(c2w: np.ndarray, capture_part: str, cam_name: str) -> np.ndarray:
+def apply_camera_hack(c2w: np.ndarray, capture_part: str, cam_name: str,
+                      table=None) -> np.ndarray:
     """Right-multiply the c2w by per-axis corrections, z then y then x
     (reference functions.py:100-130 — C2W @ R)."""
-    hacks = CAMERA_HACKS.get(capture_part, {})
+    hacks = (table if table is not None else CAMERA_HACKS).get(capture_part, {})
     if cam_name not in hacks:
         return c2w
     dz, dy, dx = hacks[cam_name]
@@ -218,6 +240,8 @@ def read_cameras_real_capture(
     resolution: int = -1,
     extension: str = ".png",
     dataset_style: str = "fluid_nexus",
+    use_demo_cameras: bool = False,
+    real_view_repeat: int = 1,
 ) -> List[Camera]:
     """Build the per-(camera, frame) Camera list from a FluidNexus capture.
 
@@ -229,13 +253,27 @@ def read_cameras_real_capture(
     with open(os.path.join(path, transforms_file)) as f:
         contents = json.load(f)
 
+    # demo camera sweep 2->4->0->2, every 2nd pose (reader :99-126)
+    demo_rt = None
+    if use_demo_cameras:
+        raw = np.load(os.path.join(path, "demo_cams_poses_extra.npy"))
+        demo = np.concatenate([raw[raw.shape[0] // 2:], raw[::-1],
+                               raw[: raw.shape[0] // 2]], axis=0)[::2]
+        demo_rt = [c2w_to_rt(np.array(c, np.float64)) for c in demo]
+
     cameras: List[Camera] = []
     uid = 0
     for frame in contents["frames"]:
         cam_name = frame["file_path"][-1:]
-        c2w = np.array(frame["transform_matrix"], np.float64)
-        c2w = apply_camera_hack(c2w, capture_part, cam_name)
+        c2w_in = np.array(frame["transform_matrix"], np.float64)
+        c2w = apply_camera_hack(c2w_in, capture_part, cam_name)
         R, T = c2w_to_rt(c2w)
+        R2 = T2 = None
+        if capture_part in CAMERA_HACKS_2:
+            # object capture: second pose R_2/T_2 from the data_2 corrections
+            # (reader :201-283), switched in at data_2_since (:399-401)
+            c2w_2 = apply_camera_hack(c2w_in, capture_part, cam_name, CAMERA_HACKS_2)
+            R2, T2 = c2w_to_rt(c2w_2)
 
         h, w = frame["camera_hw"]
         fovx = frame["camera_angle_x"]
@@ -291,17 +329,35 @@ def read_cameras_real_capture(
                 image_path = real_image_path = None
                 ch, cw = h, w
 
+            # object capture: the second COLMAP solve's pose takes over at
+            # data_2_since (reader :399-401)
+            cur_R, cur_T = R, T
+            if (R2 is not None and data_2_path and data_2_since >= 0
+                    and time_idx >= data_2_since * time_step + start_time):
+                cur_R, cur_T = R2, T2
+            image_name = frame["file_path"].split("/")[-1]
+            camera_time_idx = (time_idx - start_time) // time_step
+            if demo_rt is not None:
+                cur_R, cur_T = demo_rt[camera_time_idx]
+                image_name += f"_demo{camera_time_idx:03d}"
+
             cameras.append(
                 Camera(
-                    uid=uid, R=R, T=T, fovx=fovx, fovy=fovy, width=cw, height=ch,
+                    uid=uid, R=cur_R, T=cur_T, fovx=fovx, fovy=fovy, width=cw, height=ch,
                     image=image_path, image_real=real_image_path,
-                    image_name=frame["file_path"].split("/")[-1],
-                    time_idx=(time_idx - start_time) // time_step,
+                    image_name=image_name,
+                    time_idx=camera_time_idx,
                     timestamp=timestamp, is_fake_view=is_fake_view,
                     znear=float(contents.get("near", 0.01)), zfar=float(contents.get("far", 100.0)),
                 )
             )
             uid += 1
+            # ScalarReal: weight real views against fake ones by repetition
+            # (scalar_real_reader.py:226-255)
+            if real_view_repeat > 1 and not is_fake_view:
+                for _ in range(1, real_view_repeat):
+                    cameras.append(dataclasses.replace(cameras[-1], uid=uid))
+                    uid += 1
 
     # batch decode: every unique path once, through the native threaded loader
     todo = [p for c in cameras for p in (c.image, c.image_real) if isinstance(p, str)]

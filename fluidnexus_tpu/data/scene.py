@@ -51,7 +51,8 @@ def read_scene(cfg: Config, eval_only: bool = False) -> SceneInfo:
         use_refined_fake=m.use_refined_fake, refined_strength=m.refined_strength,
         gen_future_since=m.gen_future_since, gen_future_strength=m.gen_future_strength,
         data_2_path=m.data_2_path, data_2_since=m.data_2_since, is_wind=m.is_wind,
-        resolution=m.resolution,
+        resolution=m.resolution, use_demo_cameras=m.use_demo_cameras,
+        real_view_repeat=m.real_view_repeat,
     )
 
     train_cams: List[Camera] = []

@@ -360,6 +360,46 @@ def port_zero123_checkpoint(sd: Dict[str, np.ndarray], unet_cfg, vae_cfg,
 # --------------------------- CogVideoX DiT (SAT) ------------------------------
 
 
+def merge_sat_lora(sd: Dict[str, np.ndarray], lora_alpha: float = 1.0) -> Dict[str, np.ndarray]:
+    """Fold a raw SAT-lora2 finetune state dict into plain dense weights.
+
+    sat.model.finetune.lora2.LoraMixin (cogvideox_5b_lora_prefixi2v.yaml:56-59,
+    r=128) replaces attention linears with LoraLinear: the wrapped base weight
+    moves to ``<name>.original.weight`` and per-partition adapters appear as
+    ``<name>.matrix_A.{p}`` (r, in) / ``<name>.matrix_B.{p}`` (out_p, r) —
+    partition 3 for the fused query_key_value, 1 for the output dense. The
+    merged weight is W_p += (alpha / r) * B_p @ A_p, partitions concatenated
+    along the output dim. Returns a new dict with ``.original`` collapsed and
+    matrix_A/B consumed; non-LoRA keys pass through unchanged."""
+    out: Dict[str, np.ndarray] = {}
+    bases = sorted({k[: -len(".original.weight")] for k in sd
+                    if k.endswith(".original.weight")})
+    consumed = set()
+    for base in bases:
+        w = np.asarray(sd[base + ".original.weight"]).copy()
+        consumed.add(base + ".original.weight")
+        parts = sorted(int(k.rsplit(".", 1)[1]) for k in sd
+                       if k.startswith(base + ".matrix_A."))
+        offset = 0
+        for p in parts:
+            a = np.asarray(sd[f"{base}.matrix_A.{p}"])   # (r, in)
+            b = np.asarray(sd[f"{base}.matrix_B.{p}"])   # (out_p, r)
+            consumed.add(f"{base}.matrix_A.{p}")
+            consumed.add(f"{base}.matrix_B.{p}")
+            r = a.shape[0]
+            w[offset:offset + b.shape[0]] += (lora_alpha / r) * (b @ a)
+            offset += b.shape[0]
+        assert offset == w.shape[0], f"LoRA partitions of {base} cover {offset}/{w.shape[0]} rows"
+        out[base + ".weight"] = w
+        if base + ".original.bias" in sd:
+            out[base + ".bias"] = np.asarray(sd[base + ".original.bias"])
+            consumed.add(base + ".original.bias")
+    for k, v in sd.items():
+        if k not in consumed:
+            out.setdefault(k, v)
+    return out
+
+
 def port_video_dit(sd: Dict[str, np.ndarray], cfg) -> Dict:
     """Map a SAT DiffusionTransformer state dict (CogVideoX
     dit_video_concat.py: base transformer layers + patch_embed / adaln_layer /
@@ -379,6 +419,8 @@ def port_video_dit(sd: Dict[str, np.ndarray], cfg) -> Dict:
         (sat lora2 merge) or fold with merge_lora_into_dense.
     """
     assert cfg.ln_affine, "the 5B checkpoint has affine LNs; set ln_affine=True"
+    if any(k.endswith(".original.weight") for k in sd):
+        sd = merge_sat_lora(sd)   # raw SAT-lora2 finetune: fold adapters first
     pre = ""
     if any(k.startswith("model.diffusion_model.") for k in sd):
         pre = "model.diffusion_model."

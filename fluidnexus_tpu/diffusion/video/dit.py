@@ -53,6 +53,10 @@ class VideoDiTConfig:
     # (configs/cogvideox_5b.yaml elementwise_affine: True); False gives the
     # classic DiT non-affine LN (modulation supplies shift/scale)
     ln_affine: bool = True
+    # rematerialize each block in the backward pass (the reference finetunes
+    # with checkpoint_activations: True, cogvideox_5b_lora_prefixi2v.yaml:41);
+    # at 5B/17776-token shapes activations otherwise exceed HBM
+    remat: bool = True
 
     @property
     def head_dim(self):
@@ -174,16 +178,30 @@ class AffineLN(nn.Module):
 
 
 def _joint_attention(q, k, v):
-    """Full self-attention over the joint text+video sequence. On TPU with
-    block-aligned shapes this takes the Pallas flash-attention kernel (the
-    xformers memory-efficient path of the reference, sgm/modules/attention.py
-    :248-346); otherwise XLA's fused dot_product_attention. q/k/v: (b,h,s,d);
-    returns (b,s,h,d)."""
+    """Full self-attention over the joint text+video sequence. On TPU this
+    takes the Pallas flash-attention kernel (the xformers memory-efficient
+    path of the reference, sgm/modules/attention.py:248-346): unaligned
+    sequence lengths — the 5B joint sequence is 226+17550=17776 — are FRONT
+    zero-padded to a 512 multiple with segment ids masking pad<->real
+    attention, so the kernel fires at the real shape (<1% pad overhead).
+    Falls back to XLA's fused dot_product_attention off-TPU or for tiny
+    sequences. q/k/v: (b,h,s,d); returns (b,s,h,d)."""
     b, h, s, d = q.shape
-    if jax.default_backend() == "tpu" and s % 512 == 0 and d % 128 == 0:
+    if jax.default_backend() == "tpu" and s >= 512 and d % 64 == 0:
         try:
-            from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                SegmentIds, flash_attention)
 
+            pad = (-s) % 512
+            if pad:
+                qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                seg = jnp.concatenate(
+                    [jnp.ones((b, s), jnp.int32), jnp.zeros((b, pad), jnp.int32)], 1)
+                out = flash_attention(qp, kp, vp, segment_ids=SegmentIds(seg, seg),
+                                      causal=False, sm_scale=1.0 / float(np.sqrt(d)))
+                return out[:, :, :s].transpose(0, 2, 1, 3)
             out = flash_attention(q, k, v, causal=False, sm_scale=1.0 / float(np.sqrt(d)))
             return out.transpose(0, 2, 1, 3)
         except Exception:
@@ -302,8 +320,9 @@ class VideoDiT(nn.Module):
         rope_cos = rope_cos.astype(c.dtype)[: x.shape[1] - c.text_length]
         rope_sin = rope_sin.astype(c.dtype)[: x.shape[1] - c.text_length]
 
+        block_cls = nn.remat(DiTBlock) if c.remat else DiTBlock
         for i in range(c.num_layers):
-            x = DiTBlock(c, name=f"block_{i}")(x, temb, rope_cos, rope_sin)
+            x = block_cls(c, name=f"block_{i}")(x, temb, rope_cos, rope_sin)
 
         # SAT base transformer's final_layernorm after the last layer, then
         # the FinalLayerMixin norm_final + modulate (:364-400)

@@ -8,7 +8,7 @@ systolic array does the work and no per-Gaussian scalar extraction happens
                                           coefficients, G: per-pixel monomials
                                           [px^2, py^2, px*py, px, py, 1]
   prefix products: log-space, strictly-lower-triangular ones matrix per
-                   64-slot block:  excl(K,P) = LT(B,B) @ log(1-a)(B,P)
+                   block:  excl(K,P) = LT(B,B) @ log(1-a)(B,P)
   accumulation: accum(C,P) = col^T(C,K) @ w(K,P)
   backward reductions: per-Gaussian pixel moments M(K,6) = dpower @ G^T
 
@@ -17,8 +17,12 @@ kernel's shared-memory streaming, forward.cu:250-373 / backward.cu:503-533 —
 whose atomicAdd accumulation becomes per-slot gradient outputs reduced by
 XLA's gather-transpose scatter outside).
 
-Exposed as `composite_tiles` with a custom VJP at the PRE-GATHERED per-tile
-arrays (T, K, ...) boundary; upstream (projection, gather) stays JAX autodiff.
+Interface: ONE packed per-tile tensor (T, K, F) with columns
+[xy(2) | conic(3) | opacity(1) | color(C) | depth(1)], F = 7 + C — a single
+DMA stream in and a single packed gradient stream out (the previous
+five-tensor interface cost ~1.1 ms/frame of XLA slice/concat relayout
+fusions at the bench workload). Custom VJP at this boundary; upstream
+(projection, gather) stays JAX autodiff.
 
 Semantics identical to rasterizer._composite_tiles: alpha = min(.99,
 op*exp(power)), skip power>0 / alpha<1/255, contributions masked once
@@ -39,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 LANE = 128
 BLOCK = 64          # Gaussians per triangular-prefix block
 TILES_PER_PROGRAM = 8      # fwd tiles per grid program (amortizes overhead)
-BWD_TILES_PER_PROGRAM = 1  # bwd holds ~1MB of (K,P) values per tile; 2 is a wash, 8 OOMs VMEM
+BWD_TILES_PER_PROGRAM = 4  # block-streamed bwd working set is O(BLOCK*P)
 LOG_EPS = 1e-37     # log floor (a_eff <= 0.99 keeps log1p(-a) >= log(0.01))
 
 
@@ -91,85 +95,108 @@ def _alphas(power, op, live):
 
 
 def _fwd_kernel(tiles_x, tile_x, tile_y, channels, block, tpb,
-                xy_ref, con_ref, op_ref, col_ref, dep_ref, live_ref,
-                accum_ref, ft_ref, med_ref):
-    k = xy_ref.shape[1]
-    p = tile_x * tile_y
+                cnt_ref, pk_ref, live_ref, accum_ref, ft_ref, med_ref):
     for tl in range(tpb):
         _fwd_one(tiles_x, tile_x, tile_y, channels, block, tl,
-                 xy_ref, con_ref, op_ref, col_ref, dep_ref, live_ref,
-                 accum_ref, ft_ref, med_ref)
+                 cnt_ref, pk_ref, live_ref, accum_ref, ft_ref, med_ref)
 
 
 def _fwd_one(tiles_x, tile_x, tile_y, channels, block, tl,
-             xy_ref, con_ref, op_ref, col_ref, dep_ref, live_ref,
-             accum_ref, ft_ref, med_ref):
-    t = pl.program_id(0) * (xy_ref.shape[0]) + tl
-    k = xy_ref.shape[1]
+             cnt_ref, pk_ref, live_ref, accum_ref, ft_ref, med_ref):
+    t = pl.program_id(0) * pk_ref.shape[0] + tl
+    k = pk_ref.shape[1]
     p = tile_x * tile_y
+    c = channels
+    cnt = cnt_ref[t]  # live entries in this tile (scalar-prefetch SMEM)
     g_mat, _, _ = _pixel_monomials(t, tiles_x, tile_x, tile_y, p)
 
     # block-streamed: per-block power/alpha are recomputed inside the loop so
     # VMEM holds O(BLOCK*P) working set, never the full (K,P) — this is what
     # lets big tiles (32x32+) and K>256 fit the 16M scoped limit
-    f_mat = _quadratic_coeffs(xy_ref[tl], con_ref[tl])                # (K,6)
-    op = op_ref[tl]
+    pk = pk_ref[tl]                                                   # (K,F)
+    f_mat = _quadratic_coeffs(pk[:, 0:2], pk[:, 2:5])                 # (K,6)
+    op = pk[:, 5:6]
+    col = pk[:, 6:6 + c]
+    dep = pk[:, 6 + c:7 + c]
     live = live_ref[tl]
 
     lt = _tri_lower(block)
-    log_t = jnp.zeros((1, p), jnp.float32)
-    accum = jnp.zeros((channels, p), jnp.float32)
-    med_num = jnp.zeros((1, p), jnp.float32)
-    med_any = jnp.zeros((1, p), jnp.float32)
+    nb = k // block
 
-    for b in range(k // block):
-        sl = slice(b * block, (b + 1) * block)
-        power_b = jnp.dot(f_mat[sl], g_mat, preferred_element_type=jnp.float32)  # (B,P)
-        a_b, ok_b, _ = _alphas(power_b, op[sl], live[sl])
-        l_blk = jnp.log(jnp.maximum(1.0 - a_b, LOG_EPS))             # (B,P)
-        excl = jnp.dot(lt, l_blk, preferred_element_type=jnp.float32)
-        log_before = log_t + excl                                    # (B,P)
-        t_before = jnp.exp(log_before)
-        t_after = jnp.exp(log_before + l_blk)
-        w = a_b * t_before * (t_before >= 1e-4)
-        accum += jnp.dot(col_ref[tl][sl].T, w, preferred_element_type=jnp.float32)
-        cross = ((t_before > 0.5) & (t_after < 0.5) & ok_b).astype(jnp.float32)
-        med_num += jnp.dot(dep_ref[tl][sl].T, cross, preferred_element_type=jnp.float32)
-        med_any += jnp.sum(cross, axis=0, keepdims=True)
-        log_t = log_t + jnp.sum(l_blk, axis=0, keepdims=True)
+    def run(nblocks):
+        """Composite the first `nblocks` blocks with register carries; live
+        entries sit at the FRONT of the K slots (pos = starts + arange <
+        ends), so truncating at any block boundary past cnt is exact."""
+        log_t = jnp.zeros((1, p), jnp.float32)
+        accum = jnp.zeros((c, p), jnp.float32)
+        med_num = jnp.zeros((1, p), jnp.float32)
+        med_any = jnp.zeros((1, p), jnp.float32)
+        for b in range(nblocks):
+            sl = slice(b * block, (b + 1) * block)
+            power_b = jnp.dot(f_mat[sl], g_mat, preferred_element_type=jnp.float32)
+            a_b, ok_b, _ = _alphas(power_b, op[sl], live[sl])
+            l_blk = jnp.log(jnp.maximum(1.0 - a_b, LOG_EPS))         # (B,P)
+            excl = jnp.dot(lt, l_blk, preferred_element_type=jnp.float32)
+            log_before = log_t + excl                                # (B,P)
+            t_before = jnp.exp(log_before)
+            t_after = jnp.exp(log_before + l_blk)
+            w = a_b * t_before * (t_before >= 1e-4)
+            accum += jnp.dot(col[sl].T, w, preferred_element_type=jnp.float32)
+            cross = ((t_before > 0.5) & (t_after < 0.5) & ok_b).astype(jnp.float32)
+            med_num += jnp.dot(dep[sl].T, cross, preferred_element_type=jnp.float32)
+            med_any += jnp.sum(cross, axis=0, keepdims=True)
+            log_t = log_t + jnp.sum(l_blk, axis=0, keepdims=True)
+        accum_ref[tl] = accum
+        ft_ref[tl] = jnp.exp(log_t)
+        med_ref[tl] = jnp.where(med_any > 0.5, med_num, 15.0)
 
-    accum_ref[tl] = accum
-    ft_ref[tl] = jnp.exp(log_t)
-    med_ref[tl] = jnp.where(med_any > 0.5, med_num, 15.0)
+    # occupancy branch (the TPU analog of renderCUDA's per-tile range loop,
+    # forward.cu:263-270): a tile at most half full — the COMMON case in real
+    # smoke scenes (~30% mean fill) — runs a half-length unrolled body;
+    # dense tiles pay one predicated branch and keep register carries (a
+    # per-block scratch-carry guard measured ~10% slower on dense scenes)
+    if nb <= 1:
+        run(nb)
+    else:
+        half = nb // 2
+
+        @pl.when(cnt > half * block)
+        def _():
+            run(nb)
+
+        @pl.when(cnt <= half * block)
+        def _():
+            run(half)
 
 
 def _bwd_kernel(tiles_x, tile_x, tile_y, channels, block, tpb,
-                xy_ref, con_ref, op_ref, col_ref, dep_ref, live_ref,
-                gacc_ref, gft_ref,
-                dxy_ref, dcon_ref, dop_ref, dcol_ref):
+                cnt_ref, pk_ref, live_ref, gacc_ref, gft_ref, dpk_ref):
     for tl in range(tpb):
         _bwd_one(tiles_x, tile_x, tile_y, channels, block, tl,
-                 xy_ref, con_ref, op_ref, col_ref, dep_ref, live_ref,
-                 gacc_ref, gft_ref, dxy_ref, dcon_ref, dop_ref, dcol_ref)
+                 cnt_ref, pk_ref, live_ref, gacc_ref, gft_ref, dpk_ref)
 
 
 def _bwd_one(tiles_x, tile_x, tile_y, channels, block, tl,
-             xy_ref, con_ref, op_ref, col_ref, dep_ref, live_ref,
-             gacc_ref, gft_ref,
-             dxy_ref, dcon_ref, dop_ref, dcol_ref):
+             cnt_ref, pk_ref, live_ref, gacc_ref, gft_ref, dpk_ref):
     """Two-sweep per-tile gradient pass: forward sweep caches per-block
     transmittance carries; reverse sweep forms the suffix color mass and all
-    parameter grads via moment matmuls (TPU analog of backward.cu:503-533)."""
-    t = pl.program_id(0) * xy_ref.shape[0] + tl
-    k = xy_ref.shape[1]
+    parameter grads via moment matmuls (TPU analog of backward.cu:503-533).
+    Emits ONE packed gradient row per Gaussian slot: [dxy|dcon|dop|dcol|0].
+    Same occupancy branch as _fwd_one: at-most-half-full tiles run a
+    half-length body."""
+    t = pl.program_id(0) * pk_ref.shape[0] + tl
+    k = pk_ref.shape[1]
     p = tile_x * tile_y
+    c = channels
     nb = k // block
+    cnt = cnt_ref[t]
     g_mat, px, py = _pixel_monomials(t, tiles_x, tile_x, tile_y, p)
 
-    xy = xy_ref[tl]
-    con = con_ref[tl]
-    op = op_ref[tl]
-    col = col_ref[tl]
+    pk = pk_ref[tl]
+    xy = pk[:, 0:2]
+    con = pk[:, 2:5]
+    op = pk[:, 5:6]
+    col = pk[:, 6:6 + c]
     live = live_ref[tl]
     f_mat = _quadratic_coeffs(xy, con)                               # (K,6)
 
@@ -183,85 +210,92 @@ def _bwd_one(tiles_x, tile_x, tile_y, channels, block, tl,
         return power_b, a_b, ok_b, raw_b, l_b
 
     lt = _tri_lower(block)
-    # forward sweep: per-block log-carry starts
-    carries = [jnp.zeros((1, p), jnp.float32)]
-    for b in range(nb):
-        sl = slice(b * block, (b + 1) * block)
-        _, _, _, _, l_b = block_state(sl)
-        carries.append(carries[-1] + jnp.sum(l_b, axis=0, keepdims=True))
-    t_final = jnp.exp(carries[-1])
-
+    su = _tri_lower(block).T  # strictly upper: row i sums j > i
     gacc = gacc_ref[tl]                                              # (C,P)
-    g_t_term = gft_ref[tl] * t_final                                  # (1,P)
-
-    # per-pixel moment basis for grad reductions: Gm^T = [1, px, py]
-    gm = jnp.concatenate([jnp.ones_like(px), px, py], axis=0)         # (3,P)
-
+    gm = jnp.concatenate([jnp.ones_like(px), px, py], axis=0)        # (3,P)
     x = xy[:, 0:1]
     y = xy[:, 1:2]
     ca = con[:, 0:1]
     cb = con[:, 1:2]
     cc = con[:, 2:3]
 
-    s_dot = jnp.zeros((1, p), jnp.float32)
+    def run(nblocks):
+        # forward sweep: per-block log-carry starts (register list)
+        carries = [jnp.zeros((1, p), jnp.float32)]
+        for b in range(nblocks):
+            sl = slice(b * block, (b + 1) * block)
+            _, _, _, _, l_b = block_state(sl)
+            carries.append(carries[-1] + jnp.sum(l_b, axis=0, keepdims=True))
+        t_final = jnp.exp(carries[-1])
+        g_t_term = gft_ref[tl] * t_final                             # (1,P)
 
-    su = _tri_lower(block).T  # strictly upper: row i sums j > i
+        s_dot = jnp.zeros((1, p), jnp.float32)
+        for b in range(nblocks - 1, -1, -1):
+            sl = slice(b * block, (b + 1) * block)
+            power_b, a_blk, ok_b, raw_b, l_blk = block_state(sl)
+            gdotcol_b = jnp.dot(col[sl], gacc, preferred_element_type=jnp.float32)  # (B,P)
+            excl = jnp.dot(lt, l_blk, preferred_element_type=jnp.float32)
+            t_before = jnp.exp(carries[b] + excl)                    # (B,P)
+            alive = t_before >= 1e-4
+            w = a_blk * t_before * alive
+            q = gdotcol_b * w                                        # (B,P)
+            # suffix within block (j > i) + suffix from later blocks (s_dot)
+            s_blk = jnp.dot(su, q, preferred_element_type=jnp.float32) + s_dot
 
-    for b in range(nb - 1, -1, -1):
-        sl = slice(b * block, (b + 1) * block)
-        power_b, a_blk, ok_b, raw_b, l_blk = block_state(sl)
-        gdotcol_b = jnp.dot(col[sl], gacc, preferred_element_type=jnp.float32)  # (B,P)
-        excl = jnp.dot(lt, l_blk, preferred_element_type=jnp.float32)
-        t_before = jnp.exp(carries[b] + excl)                        # (B,P)
-        alive = t_before >= 1e-4
-        w = a_blk * t_before * alive
-        q = gdotcol_b * w                                            # (B,P)
-        # suffix within block (j > i) + suffix from later blocks (s_dot)
-        s_blk = jnp.dot(su, q, preferred_element_type=jnp.float32) + s_dot
+            one_minus = jnp.maximum(1.0 - a_blk, 0.01)
+            da = gdotcol_b * t_before * alive - (s_blk + g_t_term) / one_minus
+            not_clamped = raw_b < 0.99
+            da = jnp.where(ok_b & not_clamped, da, 0.0)
+            dpower = da * a_blk                                      # (B,P)
 
-        one_minus = jnp.maximum(1.0 - a_blk, 0.01)
-        da = gdotcol_b * t_before * alive - (s_blk + g_t_term) / one_minus
-        not_clamped = raw_b < 0.99
-        da = jnp.where(ok_b & not_clamped, da, 0.0)
-        dpower = da * a_blk                                          # (B,P)
+            dop_blk = jnp.sum(jnp.where(ok_b & not_clamped,
+                                        da * jnp.exp(power_b), 0.0), axis=1, keepdims=True)
+            m = jnp.dot(dpower, gm.T, preferred_element_type=jnp.float32)  # (B,3): [m0, mx, my]
+            m2 = jnp.dot(dpower, (gm * gm[1:2]).T, preferred_element_type=jnp.float32)
+            # m2 columns: [sum dp*px, sum dp*px^2, sum dp*px*py]
+            m3 = jnp.dot(dpower, (gm * gm[2:3]).T, preferred_element_type=jnp.float32)
+            # m3 columns: [sum dp*py, sum dp*px*py, sum dp*py^2]
+            m0 = m[:, 0:1]
+            mx = m[:, 1:2]
+            my = m[:, 2:3]
+            mxx = m2[:, 1:2]
+            mxy = m2[:, 2:3]
+            myy = m3[:, 2:3]
 
-        dop_blk = jnp.sum(jnp.where(ok_b & not_clamped,
-                                    da * jnp.exp(power_b), 0.0), axis=1, keepdims=True)
-        m = jnp.dot(dpower, gm.T, preferred_element_type=jnp.float32)  # (B,3): [m0, mx, my]
-        m2 = jnp.dot(dpower, (gm * gm[1:2]).T, preferred_element_type=jnp.float32)
-        # m2 columns: [sum dp*px, sum dp*px^2, sum dp*px*py]
-        m3 = jnp.dot(dpower, (gm * gm[2:3]).T, preferred_element_type=jnp.float32)
-        # m3 columns: [sum dp*py, sum dp*px*py, sum dp*py^2]
-        m0 = m[:, 0:1]
-        mx = m[:, 1:2]
-        my = m[:, 2:3]
-        mxx = m2[:, 1:2]
-        mxy = m2[:, 2:3]
-        myy = m3[:, 2:3]
+            xb, yb = x[sl], y[sl]
+            cab, cbb, ccb = ca[sl], cb[sl], cc[sl]
+            # dca = sum dp * (-.5)(x-px)^2 = -.5 (x^2 m0 - 2 x mx + mxx)
+            dca = -0.5 * (xb * xb * m0 - 2 * xb * mx + mxx)
+            dcc = -0.5 * (yb * yb * m0 - 2 * yb * my + myy)
+            dcb = -(xb * yb * m0 - xb * my - yb * mx + mxy)
+            # dpower/dx = -(ca (x-px) + cb (y-py))
+            dxg = -(cab * (xb * m0 - mx) + cbb * (yb * m0 - my))
+            dyg = -(ccb * (yb * m0 - my) + cbb * (xb * m0 - mx))
+            dcol = jnp.dot(w, gacc.T, preferred_element_type=jnp.float32)  # (B,C)
 
-        xb, yb = x[sl], y[sl]
-        cab, cbb, ccb = ca[sl], cb[sl], cc[sl]
-        # dca = sum dp * (-.5)(x-px)^2 = -.5 (x^2 m0 - 2 x mx + mxx)
-        dca = -0.5 * (xb * xb * m0 - 2 * xb * mx + mxx)
-        dcc = -0.5 * (yb * yb * m0 - 2 * yb * my + myy)
-        dcb = -(xb * yb * m0 - xb * my - yb * mx + mxy)
-        # dpower/dx = -(ca (x-px) + cb (y-py))
-        dxg = -(cab * (xb * m0 - mx) + cbb * (yb * m0 - my))
-        dyg = -(ccb * (yb * m0 - my) + cbb * (xb * m0 - mx))
+            # ONE packed store per block (static slices): keeps only the
+            # (1,P) carries live across unrolled block iterations, so the
+            # stack slots of each block's temporaries can be reused
+            dpk_ref[tl, sl] = jnp.concatenate(
+                [dxg, dyg, dca, dcb, dcc, dop_blk, dcol, jnp.zeros_like(dop_blk)], axis=1)
+            s_dot = s_dot + jnp.sum(q, axis=0, keepdims=True)
+        # blocks past the live count: zero gradient rows
+        for b in range(nblocks, nb):
+            dpk_ref[tl, slice(b * block, (b + 1) * block)] = (
+                jnp.zeros((block, 7 + c), jnp.float32))
 
-        # write straight to the output refs (static slices): keeps only the
-        # (1,P) carries live across unrolled block iterations, so the stack
-        # slots of each block's temporaries can be reused
-        dxy_ref[tl, sl] = jnp.concatenate([dxg, dyg], axis=1)
-        dcon_ref[tl, sl] = jnp.concatenate([dca, dcb, dcc], axis=1)
-        dop_ref[tl, sl] = dop_blk
-        dcol_ref[tl, sl] = jnp.dot(w, gacc.T, preferred_element_type=jnp.float32)
-        s_dot = s_dot + jnp.sum(q, axis=0, keepdims=True)
+    if nb <= 1:
+        run(nb)
+    else:
+        half = nb // 2
 
+        @pl.when(cnt > half * block)
+        def _():
+            run(nb)
 
-def _block(*shape):
-    return pl.BlockSpec((1,) + shape, lambda t: (t,) + (0,) * len(shape),
-                        memory_space=pltpu.VMEM)
+        @pl.when(cnt <= half * block)
+        def _():
+            run(half)
 
 
 def _pad_tiles(arrs, num_tiles, tpb):
@@ -272,94 +306,105 @@ def _pad_tiles(arrs, num_tiles, tpb):
     return [jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)) for a in arrs], num_tiles + pad
 
 
-def _run_fwd(xy, con, op, col, dep, live, tiles_x, tile_x, tile_y):
-    num_tiles, k = op.shape
-    channels = col.shape[-1]
+def _counts(live):
+    """Per-tile live-entry counts (live is a front-packed prefix mask)."""
+    return jnp.sum(live > 0.5, axis=1).astype(jnp.int32)
+
+
+def _run_fwd(packed, live, tiles_x, tile_x, tile_y):
+    num_tiles, k, f = packed.shape
+    channels = f - 7
     p = tile_x * tile_y
     assert p % LANE == 0, p
     blk = min(BLOCK, k)
     assert k % blk == 0, (k, blk)
     # adaptive tiles/program: with block streaming the fwd working set is
-    # ~8 live (BLOCK,P) f32 arrays per tile plus the 6 lane-padded (K,·)
-    # input buffers (~3KB per K row); budget 12M of the 16M scoped VMEM
-    per_tile = 32 * blk * p + 3072 * k
+    # ~8 live (BLOCK,P) f32 arrays per tile plus the lane-padded (K,F) input
+    # buffer; budget 12M of the 16M scoped VMEM
+    per_tile = 32 * blk * p + 1024 * k
     cap = max(1, (12 << 20) // per_tile)
     tpb = min(TILES_PER_PROGRAM, max(num_tiles, 1), cap)
-    (xy, con, opv, col, depv, livev), nt = _pad_tiles(
-        [xy, con, op[..., None], col, dep[..., None], live[..., None]], num_tiles, tpb)
+    cnt = _counts(live)
+    (packed, livev, cnt), nt = _pad_tiles([packed, live[..., None], cnt], num_tiles, tpb)
     kern = functools.partial(_fwd_kernel, tiles_x, tile_x, tile_y, channels, blk, tpb)
-    block = lambda *shape: pl.BlockSpec((tpb,) + shape, lambda t: (t,) + (0,) * len(shape),
+    block = lambda *shape: pl.BlockSpec((tpb,) + shape, lambda t, c: (t,) + (0,) * len(shape),
                                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
-        grid=(nt // tpb,),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nt // tpb,),
+            in_specs=[block(k, f), block(k, 1)],
+            out_specs=(block(channels, p), block(1, p), block(1, p)),
+        ),
         interpret=_interpret(),
-        in_specs=[block(k, 2), block(k, 3), block(k, 1), block(k, channels),
-                  block(k, 1), block(k, 1)],
-        out_specs=(block(channels, p), block(1, p), block(1, p)),
         out_shape=(
             jax.ShapeDtypeStruct((nt, channels, p), jnp.float32),
             jax.ShapeDtypeStruct((nt, 1, p), jnp.float32),
             jax.ShapeDtypeStruct((nt, 1, p), jnp.float32),
         ),
-    )(xy, con, opv, col, depv, livev)
+    )(cnt, packed, livev)
     return tuple(o[:num_tiles] for o in out)
 
 
-def _run_bwd(xy, con, op, col, dep, live, gacc, gft, tiles_x, tile_x, tile_y):
-    num_tiles, k = op.shape
-    channels = col.shape[-1]
+def _run_bwd(packed, live, gacc, gft, tiles_x, tile_x, tile_y):
+    num_tiles, k, f = packed.shape
+    channels = f - 7
     p = tile_x * tile_y
     blk = min(BLOCK, k)
-    tpb = min(BWD_TILES_PER_PROGRAM, max(num_tiles, 1))
-    (xy, con, opv, col, depv, livev, gacc, gft), nt = _pad_tiles(
-        [xy, con, op[..., None], col, dep[..., None], live[..., None], gacc, gft],
-        num_tiles, tpb)
+    nb = k // blk
+    per_tile = 40 * blk * p + 2048 * k + 8 * p * nb
+    cap = max(1, (12 << 20) // per_tile)
+    tpb = min(BWD_TILES_PER_PROGRAM, max(num_tiles, 1), cap)
+    cnt = _counts(live)
+    (packed, livev, gacc, gft, cnt), nt = _pad_tiles(
+        [packed, live[..., None], gacc, gft, cnt], num_tiles, tpb)
     kern = functools.partial(_bwd_kernel, tiles_x, tile_x, tile_y, channels, blk, tpb)
-    block = lambda *shape: pl.BlockSpec((tpb,) + shape, lambda t: (t,) + (0,) * len(shape),
+    block = lambda *shape: pl.BlockSpec((tpb,) + shape, lambda t, c: (t,) + (0,) * len(shape),
                                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
-        grid=(nt // tpb,),
-        interpret=_interpret(),
-        in_specs=[block(k, 2), block(k, 3), block(k, 1), block(k, channels),
-                  block(k, 1), block(k, 1),
-                  block(channels, p), block(1, p)],
-        out_specs=(block(k, 2), block(k, 3), block(k, 1), block(k, channels)),
-        out_shape=(
-            jax.ShapeDtypeStruct((nt, k, 2), jnp.float32),
-            jax.ShapeDtypeStruct((nt, k, 3), jnp.float32),
-            jax.ShapeDtypeStruct((nt, k, 1), jnp.float32),
-            jax.ShapeDtypeStruct((nt, k, channels), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nt // tpb,),
+            in_specs=[block(k, f), block(k, 1), block(channels, p), block(1, p)],
+            out_specs=block(k, f),
         ),
-    )(xy, con, opv, col, depv, livev, gacc, gft)
-    return tuple(o[:num_tiles] for o in out)
+        interpret=_interpret(),
+        out_shape=jax.ShapeDtypeStruct((nt, k, f), jnp.float32),
+    )(cnt, packed, livev, gacc, gft)
+    return out[:num_tiles]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
-def composite_tiles(xy, con, op, col, dep, live, tiles_x, tile_x, tile_y):
-    """Per-tile front-to-back compositing.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def composite_tiles_packed(packed, live, tiles_x, tile_x, tile_y):
+    """Per-tile front-to-back compositing over the packed per-tile tensor.
 
-    xy (T,K,2), con (T,K,3), op (T,K), col (T,K,C), dep (T,K) are the
-    PRE-GATHERED per-tile Gaussian params (depth-sorted); live (T,K) f32 mask.
-    Returns (accum (T,C,P), final_T (T,1,P), med (T,1,P)) with P row-major
-    over (tile_y, tile_x). Differentiable in xy/con/op/col; dep and live are
-    constants (the reference backward also ignores depth/ordering grads).
-    """
-    return _run_fwd(xy, con, op, col, dep, live, tiles_x, tile_x, tile_y)
+    packed (T,K,7+C): [xy|conic|opacity|color|depth] rows, depth-sorted,
+    PRE-GATHERED per tile; live (T,K) f32 mask. Returns (accum (T,C,P),
+    final_T (T,1,P), med (T,1,P)) with P row-major over (tile_y, tile_x).
+    Differentiable in the xy/conic/opacity/color columns; the depth column
+    and live are constants (the reference backward also ignores
+    depth/ordering grads)."""
+    return _run_fwd(packed, live, tiles_x, tile_x, tile_y)
 
 
-def _composite_fwd(xy, con, op, col, dep, live, tiles_x, tile_x, tile_y):
-    out = _run_fwd(xy, con, op, col, dep, live, tiles_x, tile_x, tile_y)
-    return out, (xy, con, op, col, dep, live)
+def _composite_fwd(packed, live, tiles_x, tile_x, tile_y):
+    out = _run_fwd(packed, live, tiles_x, tile_x, tile_y)
+    return out, (packed, live)
 
 
 def _composite_bwd(tiles_x, tile_x, tile_y, res, g):
-    xy, con, op, col, dep, live = res
+    packed, live = res
     gacc, gft, _gmed = g
-    dxy, dcon, dop, dcol = _run_bwd(xy, con, op, col, dep, live,
-                                    gacc, gft, tiles_x, tile_x, tile_y)
-    return dxy, dcon, dop[..., 0], dcol, jnp.zeros_like(dep), jnp.zeros_like(live)
+    dpk = _run_bwd(packed, live, gacc, gft, tiles_x, tile_x, tile_y)
+    return dpk, jnp.zeros_like(live)
 
 
-composite_tiles.defvjp(_composite_fwd, _composite_bwd)
+composite_tiles_packed.defvjp(_composite_fwd, _composite_bwd)
+
+
+def composite_tiles(xy, con, op, col, dep, live, tiles_x, tile_x, tile_y):
+    """Back-compat wrapper over composite_tiles_packed for separate arrays."""
+    packed = jnp.concatenate([xy, con, op[..., None], col, dep[..., None]], -1)
+    return composite_tiles_packed(packed, live, tiles_x, tile_x, tile_y)

@@ -48,23 +48,50 @@ def shard_params_logical(params, mesh: Mesh, logical_specs):
     return jax.device_put(params, specs)
 
 
+def param_shardings(params, mesh: Mesh):
+    """NamedShardings from the params' own flax logical-axis metadata
+    (nn.with_logical_partitioning boxes); unannotated leaves replicate."""
+    return nn.logical_to_mesh_sharding(nn.get_partition_spec(params), mesh, LOGICAL_RULES)
+
+
+def _is_meta(x):
+    return isinstance(x, nn.meta.AxisMetadata)
+
+
+def _zero_extend(spec: P, shape, dp: int) -> P:
+    """ZeRO: additionally shard the largest still-unsharded, dp-divisible dim
+    along 'data' (DeepSpeed's optimizer-state partitioning over the DP group,
+    configs/sft_pi2v_*.yaml deepspeed block)."""
+    parts = list(spec) + [None] * (len(shape) - len(spec))
+    if "data" in parts or not shape:
+        return P(*parts)
+    best = None
+    for axis, size in enumerate(shape):
+        if parts[axis] is None and size % dp == 0 and size >= dp:
+            if best is None or size > shape[best]:
+                best = axis
+    if best is not None:
+        parts[best] = "data"
+    return P(*parts)
+
+
 def zero_shard_opt_state(opt_state, mesh: Mesh):
-    """ZeRO-equivalent: shard optimizer moments along the data axis on their
-    largest divisible dimension (DeepSpeed stage-2's optimizer-state
-    partitioning, configs/sft_pi2v_*.yaml deepspeed block)."""
+    """Shard optimizer state: each moment inherits ITS PARAM's tensor-parallel
+    layout (the flax logical-axis metadata survives optax's tree_zeros_like),
+    then the largest remaining dim is sharded along 'data' (ZeRO)."""
     dp = mesh.shape["data"]
+    shardings = nn.logical_to_mesh_sharding(nn.get_partition_spec(opt_state),
+                                            mesh, LOGICAL_RULES)
 
-    def spec_for(x):
-        if not hasattr(x, "shape") or x.ndim == 0:
-            return NamedSharding(mesh, P())
-        for axis, size in enumerate(x.shape):
-            if size % dp == 0 and size >= dp:
-                parts = [None] * x.ndim
-                parts[axis] = "data"
-                return NamedSharding(mesh, P(*parts))
-        return NamedSharding(mesh, P())
+    def put(x, s):
+        arr = x.unbox() if _is_meta(x) else x
+        if not hasattr(arr, "shape"):
+            return x
+        spec = _zero_extend(s.spec, arr.shape, dp)
+        out = jax.device_put(arr, NamedSharding(mesh, spec))
+        return x.replace_boxed(out) if _is_meta(x) else out
 
-    return jax.tree.map(lambda x: jax.device_put(x, spec_for(x)), opt_state)
+    return jax.tree.map(put, opt_state, shardings, is_leaf=_is_meta)
 
 
 def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:

@@ -29,9 +29,12 @@ def get_model(name: str) -> Dict[str, Any]:
         "gm_background": dict(kind="background", model=background.BackgroundModel,
                               params=background.BackgroundParams, module=background,
                               channels=3),
-        # vanilla 3DGS (gaussian_model.py registry entry gm_gs)
+        # vanilla 3DGS with spherical-harmonics color (gaussian_model.py
+        # registry entry gm_gs): color field = SH DC coefficients, per-view
+        # colors via render.render_gs_sh / ops.sh (forward.cu:20-68)
         "gm_gs": dict(kind="background", model=background.BackgroundModel,
-                      params=background.BackgroundParams, module=background, channels=3),
+                      params=background.BackgroundParams, module=background,
+                      channels=3, sh=True),
     }
     if name not in registry:
         raise ValueError(f"unknown model {name!r}; known: {sorted(registry)}")

@@ -71,3 +71,29 @@ def to_gray3(img):
     (train_physical_particle.py:127-133)."""
     g = img.mean(axis=0, keepdims=True)
     return jnp.concatenate([g, g, g], axis=0)
+
+
+def render_gs_sh(
+    model,                      # BackgroundModel with color = SH DC coefficients
+    features_rest,              # (C, (deg+1)^2 - 1, 3) higher-order SH coeffs
+    sh_degree: int,
+    *,
+    campos,
+    view_matrix, proj_matrix, tan_fovx, tan_fovy, width: int, height: int,
+    bg_color, config: RasterizerConfig,
+):
+    """gm_gs (vanilla 3DGS) render: view-dependent colors from spherical
+    harmonics, evaluated OUTSIDE the rasterizer (the CUDA reference folds
+    computeColorFromSH into its preprocess, forward.cu:60-68 — on TPU it is
+    a fused elementwise op feeding the same rasterize call)."""
+    from fluidnexus_tpu.ops.sh import sh_to_color
+
+    sh = jnp.concatenate([model.color[:, None, :], features_rest], axis=1)
+    colors = sh_to_color(sh_degree, sh, model.xyz, jnp.asarray(campos))
+    return rasterize(
+        model.xyz, colors, model.get_opacity[:, 0], model.get_scaling,
+        model.get_rotation, alive=model.alive,
+        view_matrix=view_matrix, proj_matrix=proj_matrix,
+        tan_fovx=tan_fovx, tan_fovy=tan_fovy, width=width, height=height,
+        bg_color=bg_color, config=config,
+    )

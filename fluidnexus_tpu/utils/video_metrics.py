@@ -30,11 +30,12 @@ def pixel_feature_fn(videos, grid: int = 8):
     return jnp.concatenate([mean_t, std_t], -1)
 
 
-def _sqrtm_psd(mat, eps=1e-10):
-    """Matrix square root of a symmetric PSD matrix via eigendecomposition."""
+def _sqrtm_psd(mat):
+    """Matrix square root of a symmetric PSD matrix via eigendecomposition.
+    Negative eigenvalues (numerical noise on rank-deficient inputs) clip to
+    zero — adding a floor instead injects O(dim * sqrt(floor)) trace error."""
     w, v = np.linalg.eigh(mat)
-    w = np.clip(w, 0, None)
-    return (v * np.sqrt(w + eps)) @ v.T
+    return (v * np.sqrt(np.clip(w, 0, None))) @ v.T
 
 
 def frechet_distance(feats_a: np.ndarray, feats_b: np.ndarray) -> float:
@@ -46,7 +47,9 @@ def frechet_distance(feats_a: np.ndarray, feats_b: np.ndarray) -> float:
     sa = np.cov(a, rowvar=False) + 1e-8 * np.eye(a.shape[1])
     sb = np.cov(b, rowvar=False) + 1e-8 * np.eye(b.shape[1])
     sqrt_ab = _sqrtm_psd(_sqrtm_psd(sa) @ sb @ _sqrtm_psd(sa))
-    return float(np.sum((mu_a - mu_b) ** 2) + np.trace(sa + sb - 2 * sqrt_ab))
+    # the analytic distance is >= 0; tiny negatives are eigensolver noise on
+    # rank-deficient covariances (few clips, many features)
+    return float(max(0.0, np.sum((mu_a - mu_b) ** 2) + np.trace(sa + sb - 2 * sqrt_ab)))
 
 
 def frechet_video_distance(videos_a, videos_b,
@@ -64,3 +67,27 @@ def perceptual_similarity(img_a, img_b, feature_fn: Optional[Callable] = None) -
     fa = np.asarray(feature_fn(np.asarray(img_a)[None]))
     fb = np.asarray(feature_fn(np.asarray(img_b)[None]))
     return float(np.sqrt(((fa - fb) ** 2).sum()))
+
+
+def i3d_feature_fn(i3d_params, batch: int = 8) -> Callable:
+    """Kinetics-I3D logits as FVD features — the reference detector
+    (torch_frechet_video_distance.py:60-100). Load real weights via
+    utils.i3d.load_params for numbers comparable to published FVD; see
+    utils/i3d.py for the zero-egress weight story."""
+    from fluidnexus_tpu.utils.i3d import i3d_logits
+
+    fwd = jax.jit(lambda v: i3d_logits(i3d_params, v))
+
+    def fn(videos):
+        v = np.asarray(videos, np.float32)
+        outs = [np.asarray(fwd(v[i:i + batch])) for i in range(0, len(v), batch)]
+        return np.concatenate(outs, 0)
+
+    return fn
+
+
+def fvd_i3d(videos_a, videos_b, i3d_params) -> float:
+    """Real FVD: Frechet distance over I3D Kinetics-400 logits
+    (frechet_video_distance.py / torch_frechet_video_distance.py parity)."""
+    return frechet_video_distance(videos_a, videos_b,
+                                  feature_fn=i3d_feature_fn(i3d_params))

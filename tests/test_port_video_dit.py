@@ -204,3 +204,53 @@ def test_port_accepts_wrapped_prefix():
     ported = port_video_dit(sd, CFG)
     assert "block_1" in ported and ported["patch_proj"]["kernel"].shape == (
         CFG.patch_size ** 2 * CFG.in_channels, CFG.hidden_size)
+
+
+def test_port_raw_sat_lora_checkpoint():
+    """Raw SAT-lora2 finetune layout (<linear>.original.weight +
+    matrix_A.{p}/matrix_B.{p}, r partitions 3 for qkv / 1 for dense) folds
+    losslessly and ports identically to the hand-merged checkpoint
+    (cogvideox_5b_lora_prefixi2v.yaml:56-59)."""
+    import numpy as np
+
+    from fluidnexus_tpu.diffusion.port import merge_sat_lora, port_video_dit
+
+    cfg = CFG
+    rng = np.random.default_rng(11)
+    sd = make_state_dict(cfg, rng)
+
+    r = 4
+    lora_sd = dict(sd)
+    merged_expect = dict(sd)
+    for i in range(cfg.num_layers):
+        for name, parts in ((f"transformer.layers.{i}.attention.query_key_value", 3),
+                            (f"transformer.layers.{i}.attention.dense", 1)):
+            w = np.asarray(sd[name + ".weight"])
+            out_p = w.shape[0] // parts
+            lora_sd.pop(name + ".weight")
+            lora_sd[name + ".original.weight"] = w
+            lora_sd[name + ".original.bias"] = lora_sd.pop(name + ".bias")
+            merged_expect[name + ".bias"] = lora_sd[name + ".original.bias"]
+            wm = w.copy()
+            for p in range(parts):
+                a = rng.normal(0, 0.2, (r, w.shape[1])).astype(np.float32)
+                b = rng.normal(0, 0.2, (out_p, r)).astype(np.float32)
+                lora_sd[f"{name}.matrix_A.{p}"] = a
+                lora_sd[f"{name}.matrix_B.{p}"] = b
+                wm[p * out_p:(p + 1) * out_p] += (1.0 / r) * (b @ a)
+            merged_expect[name + ".weight"] = wm
+
+    folded = merge_sat_lora(lora_sd)
+    for k, v in merged_expect.items():
+        np.testing.assert_allclose(folded[k], v, atol=1e-6, err_msg=k)
+    assert not any("matrix_A" in k or ".original." in k for k in folded)
+
+    # end-to-end: port_video_dit auto-detects the raw layout
+    pa = port_video_dit(lora_sd, cfg)
+    pb = port_video_dit(merged_expect, cfg)
+    qa = pa["block_0"]["attn"]["qkv"]["kernel"]
+    qb = pb["block_0"]["attn"]["qkv"]["kernel"]
+    np.testing.assert_allclose(qa, qb, atol=1e-6)
+    da = pa["block_1"]["attn"]["out"]["kernel"]
+    db = pb["block_1"]["attn"]["out"]["kernel"]
+    np.testing.assert_allclose(da, db, atol=1e-6)
