@@ -107,8 +107,29 @@ def train(args, log=print):
         updates, s = opt.update(grads, s, p)
         return optax.apply_updates(p, updates), s, loss
 
+    from fluidnexus_tpu.utils.tb import TrainLogger, device_memory_stats
+
+    tb = TrainLogger(args.save_dir or None)
+
+    def log_images(it, tgt, cond, dt_j, rng):
+        """ImageLogger parity (Zero123/helpers/custom_callbacks.py:77-115 +
+        configs/*.yaml lightning.callbacks.image_logger: every
+        batch_frequency steps log inputs / targets / CFG-3.0 samples as TB
+        grids; N capped like max_images)."""
+        n = min(args.batch, args.max_log_images)
+        samples = model.ddim_sample(params, cond[:n], dt_j[:n], rng,
+                                    num_steps=args.sample_steps, cfg_scale=3.0,
+                                    image_size=args.image_size)
+        tb.image_grid("train/conditioning", np.asarray(cond[:n]), it)
+        tb.image_grid("train/targets", np.asarray(tgt[:n]), it)
+        tb.image_grid("train/samples_cfg_scale_3.00", np.asarray(samples), it)
+
+    from fluidnexus_tpu.utils.profiling import trace
+
     rng = jax.random.PRNGKey(args.seed)
     t0 = time.time()
+    profile_cm = trace(getattr(args, "profile_dir", ""))
+    profile_cm.__enter__()
     for it in range(1, args.iterations + 1):
         tgt, cond, dt = ds.sample_batch(args.batch, rng_np)
         rng, k = jax.random.split(rng)
@@ -117,10 +138,22 @@ def train(args, log=print):
         dt_j = jax.device_put(jnp.asarray(dt, jnp.float32), data_sh)
         params, opt_state, loss = train_step(params, opt_state, tgt, cond, dt_j, k)
         if it % args.log_every == 0:
+            ips = it / (time.time() - t0)
+            mem = device_memory_stats()
+            mem_s = f" peak {mem['peak_mib']:.0f}MiB" if "peak_mib" in mem else ""
             log(f"iter {it}/{args.iterations} loss {float(loss):.5f} "
-                f"({it / (time.time() - t0):.2f} it/s)")
+                f"({ips:.2f} it/s){mem_s}")
+            tb.scalar("train/loss", float(loss), it)
+            tb.scalar("train/lr_abs", base_lr, it)
+            tb.scalar("perf/iters_per_sec", ips, it)
+            tb.scalars("perf", mem, it)
+        if tb.enabled and args.sample_every and (it == 1 or it % args.sample_every == 0):
+            rng, ks = jax.random.split(rng)
+            log_images(it, tgt, cond, dt_j, ks)
         if args.save_dir and it % args.save_every == 0:
             save_params(os.path.join(args.save_dir, f"iter_{it:07d}"), jax.device_get(params))
+    profile_cm.__exit__(None, None, None)
+    tb.close()
     return params, float(loss)
 
 
@@ -137,6 +170,13 @@ def build_argparser():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log_every", type=int, default=50)
     ap.add_argument("--save_every", type=int, default=1000)
+    # ImageLogger parity: batch_frequency 1000, max_images 32, log_first_step
+    # (configs/fluid_nexus_smoke.yaml:98-111); 0 disables
+    ap.add_argument("--sample_every", type=int, default=1000)
+    ap.add_argument("--max_log_images", type=int, default=32)
+    ap.add_argument("--sample_steps", type=int, default=50)
+    ap.add_argument("--profile_dir", default="",
+                    help="write an XLA profiler trace here (TB Profile tab)")
     ap.add_argument("--tiny", action="store_true")
     return ap
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 import functools
 
 import argparse
+import dataclasses
 import os
 import time
 from typing import List
@@ -86,6 +87,7 @@ def train(args, log=print):
     mesh = make_mesh(dp * args.tp, dp=dp, tp=args.tp)
     lat_t = (args.num_frames - 1) // 4 + 1
 
+    run_cfg = getattr(args, "run_cfg", None)
     if args.tiny:
         dit_cfg = VideoDiTConfig(hidden_size=64, num_layers=2, num_heads=4,
                                  text_hidden_size=64, text_length=8, latent_frames=lat_t,
@@ -93,6 +95,14 @@ def train(args, log=print):
                                  dtype=jnp.float32, lora_rank=args.lora_rank)
         vae_cfg = VAE3DConfig(ch=16, ch_mult=(1, 2, 2, 4), num_res_blocks=1)
         txt_hidden = 64
+    elif run_cfg is not None:
+        # model/vae shapes come from the merged reference YAMLs; latent dims
+        # follow the (possibly CLI-overridden) clip geometry
+        dit_cfg = dataclasses.replace(
+            run_cfg.dit, latent_frames=lat_t, latent_height=args.height // 8,
+            latent_width=args.width // 8, lora_rank=args.lora_rank)
+        vae_cfg = run_cfg.vae
+        txt_hidden = dit_cfg.text_hidden_size
     else:
         dit_cfg = VideoDiTConfig(latent_frames=lat_t, latent_height=args.height // 8,
                                  latent_width=args.width // 8, lora_rank=args.lora_rank)
@@ -105,7 +115,14 @@ def train(args, log=print):
         jax.random.PRNGKey(1), frames=5, height=args.height, width=args.width)
     params = jax.device_put(params, NamedSharding(mesh, P()))
 
-    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(args.lr))
+    if run_cfg is not None:
+        t = run_cfg.train
+        opt = optax.chain(
+            optax.clip_by_global_norm(t.grad_clip),
+            optax.adamw(args.lr, b1=t.betas[0], b2=t.betas[1], eps=t.eps,
+                        weight_decay=t.weight_decay))
+    else:
+        opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(args.lr))
     opt_state = zero_shard_opt_state(opt.init(params), mesh)
 
     enc = make_text_encoder(args.t5_dir or None, max_length=dit_cfg.text_length, hidden=txt_hidden)
@@ -124,25 +141,35 @@ def train(args, log=print):
     data_sh = NamedSharding(mesh, P("data"))
     rng = jax.random.PRNGKey(args.seed)
     t0 = time.time()
-    for it in range(1, args.iterations + 1):
-        frames, captions = ds.sample_batch(args.batch, rng_np)
-        rng, k_enc, k_ucg, k_loss = jax.random.split(rng, 4)
-        z = encode(vae_params, jnp.asarray(frames), k_enc)           # (B,T',H',W',C)
-        latents = jax.device_put(jnp.transpose(z, (0, 1, 4, 2, 3)), data_sh)
-        txt = apply_ucg(enc(captions), k_ucg, args.ucg_rate)
-        txt = jax.device_put(txt, data_sh)
-        params, opt_state, loss = train_step(params, opt_state, latents, txt, k_loss)
-        if it % args.log_every == 0:
-            log(f"iter {it}/{args.iterations} loss {float(loss):.5f} "
-                f"({it / (time.time() - t0):.2f} it/s)")
-        if args.save_dir and it % args.save_every == 0:
-            save_params(os.path.join(args.save_dir, f"iter_{it:07d}"), jax.device_get(params))
+    from fluidnexus_tpu.utils.profiling import StageTimer, annotate, trace
+
+    timer = StageTimer()
+    with trace(getattr(args, "profile_dir", "")):
+        for it in range(1, args.iterations + 1):
+            with timer.stage("data"):
+                frames, captions = ds.sample_batch(args.batch, rng_np)
+            rng, k_enc, k_ucg, k_loss = jax.random.split(rng, 4)
+            with timer.stage("vae_encode"), annotate("vae_encode"):
+                z = encode(vae_params, jnp.asarray(frames), k_enc)   # (B,T',H',W',C)
+            latents = jax.device_put(jnp.transpose(z, (0, 1, 4, 2, 3)), data_sh)
+            txt = apply_ucg(enc(captions), k_ucg, args.ucg_rate)
+            txt = jax.device_put(txt, data_sh)
+            with timer.stage("train_step", block_on=None), annotate("train_step"):
+                params, opt_state, loss = train_step(params, opt_state, latents, txt, k_loss)
+            if it % args.log_every == 0:
+                log(f"iter {it}/{args.iterations} loss {float(loss):.5f} "
+                    f"({it / (time.time() - t0):.2f} it/s) [{timer.report()}]")
+            if args.save_dir and it % args.save_every == 0:
+                save_params(os.path.join(args.save_dir, f"iter_{it:07d}"), jax.device_get(params))
     return params, float(loss)
 
 
 def build_argparser():
     ap = argparse.ArgumentParser(description="LoRA finetune the video DiT (prefix-i2v)")
-    ap.add_argument("--data_root", required=True)
+    ap.add_argument("--base", nargs="+", default=[],
+                    help="reference CogVideoX YAML config(s), merged in order "
+                         "(same semantics as the reference --base flag)")
+    ap.add_argument("--data_root", default="")
     ap.add_argument("--save_dir", default="")
     ap.add_argument("--dit_ckpt", default="")
     ap.add_argument("--vae_ckpt", default="")
@@ -161,11 +188,42 @@ def build_argparser():
     ap.add_argument("--log_every", type=int, default=50)
     ap.add_argument("--save_every", type=int, default=1000)
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--profile_dir", default="",
+                    help="write an XLA profiler trace of the run here "
+                         "(view in TensorBoard's Profile tab)")
     return ap
 
 
+def apply_base_yaml(ap, argv=None):
+    """Two-pass parse: --base YAML(s) set the defaults (reference sat config
+    merge), explicit CLI flags still win. Returns the parsed args with a
+    `.run_cfg` attribute (CogVideoXRunConfig or None)."""
+    pre, _ = ap.parse_known_args(argv)
+    cfg = None
+    if pre.base:
+        from fluidnexus_tpu.diffusion.video.config_yaml import load_cogvideox_yaml
+
+        cfg = load_cogvideox_yaml(pre.base)
+        t = cfg.train
+        ap.set_defaults(
+            iterations=t.train_iters, batch=t.micro_batch, lr=t.lr,
+            lora_rank=cfg.lora_rank, fixed_frames=cfg.fixed_frames,
+            ucg_rate=cfg.ucg_rate, num_frames=t.max_num_frames,
+            height=t.video_size[0], width=t.video_size[1],
+            log_every=t.log_interval, save_every=t.save_interval,
+            save_dir=t.save,
+            data_root=(t.train_data[0] if t.train_data else ""),
+            t5_dir=cfg.t5_dir,
+        )
+    args = ap.parse_args(argv)
+    args.run_cfg = cfg
+    if not args.data_root:
+        ap.error("--data_root is required (directly or via --base train_data)")
+    return args
+
+
 def main(argv=None):
-    train(build_argparser().parse_args(argv))
+    train(apply_base_yaml(build_argparser(), argv))
 
 
 if __name__ == "__main__":

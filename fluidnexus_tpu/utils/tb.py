@@ -58,6 +58,27 @@ class TrainLogger:
             arr = arr.transpose(2, 0, 1)          # HWC -> CHW
         self._w.add_image(tag, np.clip(arr, 0.0, 1.0), step)
 
+    def image_grid(self, tag: str, imgs, step: int, ncol: int = 8):
+        """Batch of images -> one tiled grid (the reference ImageLogger's
+        torchvision.make_grid, helpers/custom_callbacks.py:108-115). Accepts
+        (N,H,W), (N,H,W,C) or (N,C,H,W) float arrays in [0,1]."""
+        if self._w is None:
+            return
+        arr = np.asarray(imgs, np.float32)
+        if arr.ndim == 3:
+            arr = arr[..., None]                 # (N,H,W,1)
+        elif arr.ndim == 4 and arr.shape[1] in (1, 3) and arr.shape[-1] not in (1, 3):
+            arr = arr.transpose(0, 2, 3, 1)      # NCHW -> NHWC
+        n, h, w, c = arr.shape
+        ncol = min(ncol, n)
+        nrow = -(-n // ncol)
+        pad = nrow * ncol - n
+        if pad:
+            arr = np.concatenate([arr, np.zeros((pad, h, w, c), np.float32)])
+        grid = (arr.reshape(nrow, ncol, h, w, c).transpose(0, 2, 1, 3, 4)
+                .reshape(nrow * h, ncol * w, c))
+        self.image(tag, grid, step)
+
     def histogram(self, tag: str, values, step: int):
         if self._w is not None:
             self._w.add_histogram(tag, np.asarray(values).reshape(-1), step)
@@ -82,3 +103,25 @@ class TrainLogger:
         if self._w is not None:
             self._w.close()
             self._w = None
+
+
+def device_memory_stats(device=None) -> dict:
+    """Peak/in-use HBM for one device, in MiB — the TPU analog of the
+    reference CUDACallback's torch.cuda.max_memory_allocated report
+    (Zero123/helpers/custom_callbacks.py:196-216). Empty dict on platforms
+    that don't expose allocator stats (CPU)."""
+    import jax
+
+    dev = device or jax.local_devices()[0]
+    try:
+        stats = dev.memory_stats() or {}
+    except Exception:
+        return {}
+    out = {}
+    if "peak_bytes_in_use" in stats:
+        out["peak_mib"] = stats["peak_bytes_in_use"] / 2**20
+    if "bytes_in_use" in stats:
+        out["in_use_mib"] = stats["bytes_in_use"] / 2**20
+    if "bytes_limit" in stats:
+        out["limit_mib"] = stats["bytes_limit"] / 2**20
+    return out

@@ -32,3 +32,25 @@ def test_logger_disabled_noop():
     lg.image("y", np.zeros((4, 4)), 0)
     lg.flush()
     lg.close()
+
+
+def test_image_grid_tiles_batches(tmp_path):
+    """ImageLogger-style grids (custom_callbacks.py:108-115): N images tile
+    into ceil(N/ncol) x ncol; NCHW and NHW accepted; zero-pad the tail."""
+    lg = TrainLogger(str(tmp_path))
+    lg.image_grid("grid/nhwc", np.random.rand(5, 6, 7, 3), 1, ncol=2)  # 3x2 grid
+    lg.image_grid("grid/nchw", np.random.rand(4, 3, 6, 7), 1)
+    lg.image_grid("grid/nhw", np.random.rand(2, 6, 7), 1)
+    lg.close()
+    events = [f for f in os.listdir(tmp_path) if "tfevents" in f]
+    assert events and os.path.getsize(tmp_path / events[0]) > 100
+
+
+def test_device_memory_stats_shape():
+    """CUDACallback parity: MiB-keyed dict (possibly empty on CPU), floats."""
+    from fluidnexus_tpu.utils.tb import device_memory_stats
+
+    stats = device_memory_stats()
+    assert isinstance(stats, dict)
+    for v in stats.values():
+        assert isinstance(v, float) and v >= 0

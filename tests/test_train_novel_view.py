@@ -69,3 +69,37 @@ def test_infer_novel_view_writes_reference_layout(tmp_path):
     # reference output convention: zero123_finetune_<steps>_cam{s}to{c}/frame_%06d.png
     assert os.path.exists(tmp_path / "out" / "zero123_finetune_52000_cam2to0" / "frame_000001.png")
     assert os.path.exists(tmp_path / "out" / "zero123_finetune_52000_cam2to1" / "frame_000000.png")
+
+
+@pytest.mark.slow
+def test_train_novel_view_logs_sample_grids(tmp_path):
+    """ImageLogger parity: with a save_dir, the trainer writes conditioning/
+    target/CFG-sample grids + perf scalars to TensorBoard (reference
+    custom_callbacks.ImageLogger + CUDACallback, configs/*.yaml:98-117)."""
+    from PIL import Image
+
+    from fluidnexus_tpu.pipelines.train_novel_view import build_argparser, train
+
+    rng = np.random.default_rng(0)
+    for t in range(2):
+        d = tmp_path / "data" / f"frame_{t:03d}"
+        os.makedirs(d)
+        for cam in range(3):
+            Image.fromarray(rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)).save(
+                d / f"{cam:02d}.png")
+    os.makedirs(tmp_path / "data" / "camera")
+    for cam in range(3):
+        rt = np.concatenate([np.eye(3), np.array([[0.1 * cam], [0], [2.0]])], 1)
+        np.save(tmp_path / "data" / "camera" / f"{cam:02d}.npy", rt.astype(np.float32))
+
+    out = tmp_path / "run"
+    args = build_argparser().parse_args([
+        "--data_dir", str(tmp_path / "data"), "--iterations", "1", "--batch", "2",
+        "--image_size", "32", "--tiny", "--log_every", "1",
+        "--save_dir", str(out), "--sample_every", "1", "--sample_steps", "2",
+        "--save_every", "100",
+    ])
+    train(args, log=lambda *a: None)
+    events = [f for f in os.listdir(out) if "tfevents" in f]
+    assert events, "no TB event file"
+    assert os.path.getsize(out / events[0]) > 2000  # grids, not just scalars
