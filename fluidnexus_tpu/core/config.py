@@ -293,6 +293,10 @@ class Config:
     pipe: PipelineConfig = field(default_factory=PipelineConfig)
     config: str = ""       # path of the JSON overlay
     seed: int = 0
+    # --detect_anomaly parity (helper_parser.py:24,46: autograd anomaly mode);
+    # on TPU this flips jax_debug_nans so the first non-finite value raises
+    # with the offending primitive instead of poisoning the fit
+    detect_anomaly: bool = False
     test_iteration: int = 30000
     test_iterations: List[int] = field(default_factory=lambda: [7000, 15000, 30000])
     save_iterations: List[int] = field(default_factory=lambda: [7000, 15000, 30000])
@@ -309,7 +313,8 @@ def _apply_overrides(cfg: Config, overrides: dict) -> List[str]:
     section_fields = [{f.name for f in dataclasses.fields(s)} for s in sections]
     # note: top-level Config fields exclude the section names themselves —
     # the reference's flat "model": "gm_dynamics" key belongs to ModelConfig
-    top_fields = {"config", "seed", "test_iteration", "test_iterations", "save_iterations"}
+    top_fields = {"config", "seed", "test_iteration", "test_iterations",
+                  "save_iterations", "detect_anomaly"}
     for key, value in overrides.items():
         if key in top_fields:
             setattr(cfg, key, value)
@@ -374,6 +379,7 @@ def parse_cli(argv=None, description="fluidnexus_tpu") -> Config:
             else:
                 parser.add_argument(flag, default=default)
     parser.add_argument("--seed", type=int, default=argparse.SUPPRESS)
+    parser.add_argument("--detect_anomaly", action="store_true", default=argparse.SUPPRESS)
     parser.add_argument("--test_iterations", nargs="+", type=int, default=argparse.SUPPRESS)
     parser.add_argument("--save_iterations", nargs="+", type=int, default=argparse.SUPPRESS)
     args = parser.parse_args(argv)

@@ -257,6 +257,12 @@ def _build_tile_lists(proj: Projected, cfg: RasterizerConfig, tiles_x: int, tile
     # rank) when it fits — a single-key radix-style sort is ~2x cheaper than
     # the lexicographic two-key sort (the reference packs a 64-bit tile|depth
     # key the same way, rasterizer_impl.cu:67-106)
+    # NOTE on the gather adjoint: a scatter-free backward (inverse-permutation
+    # gather + dense 9:1 reduce) was implemented and device-profiled — it
+    # LOST to XLA's sorted-scatter lowering by ~4 ms/frame (the arbitrary-
+    # order 295k-row gather, the starts[t_flat] 1-D gather, and a transposed
+    # s32[N,9] relayout each cost 2-4 ms; XLA's sort+segment-combine adjoint
+    # of packed[tile_gauss] is ~2.7 ms total). Keep the plain gather.
     n_pow2 = 1 << max(1, (n - 1).bit_length())
     if (num_tiles + 1) * n_pow2 < 2**31:
         depth_rank = jnp.zeros((n,), jnp.int32).at[jnp.argsort(proj.depth)].set(
@@ -415,11 +421,12 @@ def rasterize(
     if cfg.resolved_backend() == "pallas":
         from fluidnexus_tpu.ops.rasterizer_pallas import composite_tiles_packed
 
-        # ONE packed gather (differentiable; reverse = one scatter-add):
-        # five separate (T,K) row-gathers cost ~3x more HBM round trips. The
-        # packed rows feed the kernel as-is (column slicing happens in VMEM)
-        # and the packed gradient comes back the same way — no XLA
-        # slice/concat relayouts on the (T,K,F) tensors.
+        # ONE packed gather (differentiable; reverse = one sorted scatter-add
+        # — see the adjoint note in _build_tile_lists): five separate (T,K)
+        # row-gathers cost ~3x more HBM round trips. The packed rows feed the
+        # kernel as-is (column slicing happens in VMEM) and the packed
+        # gradient comes back the same way — no XLA slice/concat relayouts on
+        # the (T,K,F) tensors.
         packed = jnp.concatenate(
             [proj.xy, proj.conic, opacities[:, None], colors,
              jax.lax.stop_gradient(proj.depth)[:, None]], axis=1)

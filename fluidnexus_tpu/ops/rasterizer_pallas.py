@@ -95,14 +95,14 @@ def _alphas(power, op, live):
 
 
 def _fwd_kernel(tiles_x, tile_x, tile_y, channels, block, tpb,
-                cnt_ref, pk_ref, live_ref, accum_ref, ft_ref, med_ref):
+                cnt_ref, pk_ref, live_ref, accum_ref, ft_ref, med_ref, car_ref):
     for tl in range(tpb):
         _fwd_one(tiles_x, tile_x, tile_y, channels, block, tl,
-                 cnt_ref, pk_ref, live_ref, accum_ref, ft_ref, med_ref)
+                 cnt_ref, pk_ref, live_ref, accum_ref, ft_ref, med_ref, car_ref)
 
 
 def _fwd_one(tiles_x, tile_x, tile_y, channels, block, tl,
-             cnt_ref, pk_ref, live_ref, accum_ref, ft_ref, med_ref):
+             cnt_ref, pk_ref, live_ref, accum_ref, ft_ref, med_ref, car_ref):
     t = pl.program_id(0) * pk_ref.shape[0] + tl
     k = pk_ref.shape[1]
     p = tile_x * tile_y
@@ -123,29 +123,39 @@ def _fwd_one(tiles_x, tile_x, tile_y, channels, block, tl,
     lt = _tri_lower(block)
     nb = k // block
 
+    nb_all = k // block
+
     def run(nblocks):
         """Composite the first `nblocks` blocks with register carries; live
         entries sit at the FRONT of the K slots (pos = starts + arange <
-        ends), so truncating at any block boundary past cnt is exact."""
+        ends), so truncating at any block boundary past cnt is exact.
+        Per-block log-transmittance carries are emitted (car_ref) so the
+        backward pass reads them instead of re-running this sweep."""
         log_t = jnp.zeros((1, p), jnp.float32)
         accum = jnp.zeros((c, p), jnp.float32)
         med_num = jnp.zeros((1, p), jnp.float32)
         med_any = jnp.zeros((1, p), jnp.float32)
         for b in range(nblocks):
             sl = slice(b * block, (b + 1) * block)
+            car_ref[tl, b] = log_t[0]
             power_b = jnp.dot(f_mat[sl], g_mat, preferred_element_type=jnp.float32)
             a_b, ok_b, _ = _alphas(power_b, op[sl], live[sl])
             l_blk = jnp.log(jnp.maximum(1.0 - a_b, LOG_EPS))         # (B,P)
             excl = jnp.dot(lt, l_blk, preferred_element_type=jnp.float32)
             log_before = log_t + excl                                # (B,P)
             t_before = jnp.exp(log_before)
-            t_after = jnp.exp(log_before + l_blk)
+            # t_after = exp(log_before + l_blk) == t_before * (1 - a) exactly
+            # (1 - a >= 0.01 > LOG_EPS always, so the log floor never bites);
+            # the elementwise product saves one (B,P) exp per block
+            t_after = t_before * (1.0 - a_b)
             w = a_b * t_before * (t_before >= 1e-4)
             accum += jnp.dot(col[sl].T, w, preferred_element_type=jnp.float32)
             cross = ((t_before > 0.5) & (t_after < 0.5) & ok_b).astype(jnp.float32)
             med_num += jnp.dot(dep[sl].T, cross, preferred_element_type=jnp.float32)
             med_any += jnp.sum(cross, axis=0, keepdims=True)
             log_t = log_t + jnp.sum(l_blk, axis=0, keepdims=True)
+        for b in range(nblocks, nb_all):
+            car_ref[tl, b] = jnp.zeros((p,), jnp.float32)
         accum_ref[tl] = accum
         ft_ref[tl] = jnp.exp(log_t)
         med_ref[tl] = jnp.where(med_any > 0.5, med_num, 15.0)
@@ -170,20 +180,25 @@ def _fwd_one(tiles_x, tile_x, tile_y, channels, block, tl,
 
 
 def _bwd_kernel(tiles_x, tile_x, tile_y, channels, block, tpb,
-                cnt_ref, pk_ref, live_ref, gacc_ref, gft_ref, dpk_ref):
+                cnt_ref, pk_ref, live_ref, gacc_ref, gft_ref, ft_ref, car_ref,
+                dpk_ref):
     for tl in range(tpb):
         _bwd_one(tiles_x, tile_x, tile_y, channels, block, tl,
-                 cnt_ref, pk_ref, live_ref, gacc_ref, gft_ref, dpk_ref)
+                 cnt_ref, pk_ref, live_ref, gacc_ref, gft_ref, ft_ref, car_ref,
+                 dpk_ref)
 
 
 def _bwd_one(tiles_x, tile_x, tile_y, channels, block, tl,
-             cnt_ref, pk_ref, live_ref, gacc_ref, gft_ref, dpk_ref):
-    """Two-sweep per-tile gradient pass: forward sweep caches per-block
-    transmittance carries; reverse sweep forms the suffix color mass and all
-    parameter grads via moment matmuls (TPU analog of backward.cu:503-533).
-    Emits ONE packed gradient row per Gaussian slot: [dxy|dcon|dop|dcol|0].
-    Same occupancy branch as _fwd_one: at-most-half-full tiles run a
-    half-length body."""
+             cnt_ref, pk_ref, live_ref, gacc_ref, gft_ref, ft_ref, car_ref,
+             dpk_ref):
+    """Single reverse-sweep per-tile gradient pass: the per-block
+    log-transmittance carries and the final transmittance come from the
+    FORWARD kernel (car/ft residuals — ~nb*P floats per tile, one cheap HBM
+    round trip), so no forward re-sweep happens here; the reverse sweep forms
+    the suffix color mass and all parameter grads via moment matmuls (TPU
+    analog of backward.cu:503-533). Emits ONE packed gradient row per
+    Gaussian slot: [dxy|dcon|dop|dcol|0]. Same occupancy branch as _fwd_one:
+    at-most-half-full tiles run a half-length body."""
     t = pl.program_id(0) * pk_ref.shape[0] + tl
     k = pk_ref.shape[1]
     p = tile_x * tile_y
@@ -220,14 +235,8 @@ def _bwd_one(tiles_x, tile_x, tile_y, channels, block, tl,
     cc = con[:, 2:3]
 
     def run(nblocks):
-        # forward sweep: per-block log-carry starts (register list)
-        carries = [jnp.zeros((1, p), jnp.float32)]
-        for b in range(nblocks):
-            sl = slice(b * block, (b + 1) * block)
-            _, _, _, _, l_b = block_state(sl)
-            carries.append(carries[-1] + jnp.sum(l_b, axis=0, keepdims=True))
-        t_final = jnp.exp(carries[-1])
-        g_t_term = gft_ref[tl] * t_final                             # (1,P)
+        # carries + final transmittance were emitted by the forward kernel
+        g_t_term = gft_ref[tl] * ft_ref[tl]                          # (1,P)
 
         s_dot = jnp.zeros((1, p), jnp.float32)
         for b in range(nblocks - 1, -1, -1):
@@ -235,7 +244,7 @@ def _bwd_one(tiles_x, tile_x, tile_y, channels, block, tl,
             power_b, a_blk, ok_b, raw_b, l_blk = block_state(sl)
             gdotcol_b = jnp.dot(col[sl], gacc, preferred_element_type=jnp.float32)  # (B,P)
             excl = jnp.dot(lt, l_blk, preferred_element_type=jnp.float32)
-            t_before = jnp.exp(carries[b] + excl)                    # (B,P)
+            t_before = jnp.exp(car_ref[tl, b][None, :] + excl)       # (B,P)
             alive = t_before >= 1e-4
             w = a_blk * t_before * alive
             q = gdotcol_b * w                                        # (B,P)
@@ -248,8 +257,11 @@ def _bwd_one(tiles_x, tile_x, tile_y, channels, block, tl,
             da = jnp.where(ok_b & not_clamped, da, 0.0)
             dpower = da * a_blk                                      # (B,P)
 
+            # exp(power) == raw / op (raw = op*exp(power) from _alphas): one
+            # broadcast divide instead of a (B,P) transcendental
             dop_blk = jnp.sum(jnp.where(ok_b & not_clamped,
-                                        da * jnp.exp(power_b), 0.0), axis=1, keepdims=True)
+                                        da * (raw_b / jnp.maximum(op[sl], 1e-20)),
+                                        0.0), axis=1, keepdims=True)
             m = jnp.dot(dpower, gm.T, preferred_element_type=jnp.float32)  # (B,3): [m0, mx, my]
             m2 = jnp.dot(dpower, (gm * gm[1:2]).T, preferred_element_type=jnp.float32)
             # m2 columns: [sum dp*px, sum dp*px^2, sum dp*px*py]
@@ -329,25 +341,27 @@ def _run_fwd(packed, live, tiles_x, tile_x, tile_y):
     kern = functools.partial(_fwd_kernel, tiles_x, tile_x, tile_y, channels, blk, tpb)
     block = lambda *shape: pl.BlockSpec((tpb,) + shape, lambda t, c: (t,) + (0,) * len(shape),
                                         memory_space=pltpu.VMEM)
+    nb = k // blk
     out = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nt // tpb,),
             in_specs=[block(k, f), block(k, 1)],
-            out_specs=(block(channels, p), block(1, p), block(1, p)),
+            out_specs=(block(channels, p), block(1, p), block(1, p), block(nb, p)),
         ),
         interpret=_interpret(),
         out_shape=(
             jax.ShapeDtypeStruct((nt, channels, p), jnp.float32),
             jax.ShapeDtypeStruct((nt, 1, p), jnp.float32),
             jax.ShapeDtypeStruct((nt, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((nt, nb, p), jnp.float32),
         ),
     )(cnt, packed, livev)
     return tuple(o[:num_tiles] for o in out)
 
 
-def _run_bwd(packed, live, gacc, gft, tiles_x, tile_x, tile_y):
+def _run_bwd(packed, live, gacc, gft, ft, carr, tiles_x, tile_x, tile_y):
     num_tiles, k, f = packed.shape
     channels = f - 7
     p = tile_x * tile_y
@@ -357,8 +371,8 @@ def _run_bwd(packed, live, gacc, gft, tiles_x, tile_x, tile_y):
     cap = max(1, (12 << 20) // per_tile)
     tpb = min(BWD_TILES_PER_PROGRAM, max(num_tiles, 1), cap)
     cnt = _counts(live)
-    (packed, livev, gacc, gft, cnt), nt = _pad_tiles(
-        [packed, live[..., None], gacc, gft, cnt], num_tiles, tpb)
+    (packed, livev, gacc, gft, ft, carr, cnt), nt = _pad_tiles(
+        [packed, live[..., None], gacc, gft, ft, carr, cnt], num_tiles, tpb)
     kern = functools.partial(_bwd_kernel, tiles_x, tile_x, tile_y, channels, blk, tpb)
     block = lambda *shape: pl.BlockSpec((tpb,) + shape, lambda t, c: (t,) + (0,) * len(shape),
                                         memory_space=pltpu.VMEM)
@@ -367,12 +381,13 @@ def _run_bwd(packed, live, gacc, gft, tiles_x, tile_x, tile_y):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nt // tpb,),
-            in_specs=[block(k, f), block(k, 1), block(channels, p), block(1, p)],
+            in_specs=[block(k, f), block(k, 1), block(channels, p), block(1, p),
+                      block(1, p), block(nb, p)],
             out_specs=block(k, f),
         ),
         interpret=_interpret(),
         out_shape=jax.ShapeDtypeStruct((nt, k, f), jnp.float32),
-    )(cnt, packed, livev, gacc, gft)
+    )(cnt, packed, livev, gacc, gft, ft, carr)
     return out[:num_tiles]
 
 
@@ -386,18 +401,18 @@ def composite_tiles_packed(packed, live, tiles_x, tile_x, tile_y):
     Differentiable in the xy/conic/opacity/color columns; the depth column
     and live are constants (the reference backward also ignores
     depth/ordering grads)."""
-    return _run_fwd(packed, live, tiles_x, tile_x, tile_y)
+    return _run_fwd(packed, live, tiles_x, tile_x, tile_y)[:3]
 
 
 def _composite_fwd(packed, live, tiles_x, tile_x, tile_y):
-    out = _run_fwd(packed, live, tiles_x, tile_x, tile_y)
-    return out, (packed, live)
+    accum, ft, med, carr = _run_fwd(packed, live, tiles_x, tile_x, tile_y)
+    return (accum, ft, med), (packed, live, ft, carr)
 
 
 def _composite_bwd(tiles_x, tile_x, tile_y, res, g):
-    packed, live = res
+    packed, live, ft, carr = res
     gacc, gft, _gmed = g
-    dpk = _run_bwd(packed, live, gacc, gft, tiles_x, tile_x, tile_y)
+    dpk = _run_bwd(packed, live, gacc, gft, ft, carr, tiles_x, tile_x, tile_y)
     return dpk, jnp.zeros_like(live)
 
 

@@ -379,6 +379,8 @@ def evaluate(model: BackgroundModel, cameras: List[Camera], bg, raster_cfg) -> d
 
 def main(argv=None):
     cfg = parse_cli(argv, description="train background Gaussians")
+    if cfg.detect_anomaly:  # --detect_anomaly parity (helper_parser.py:24,46)
+        jax.config.update("jax_debug_nans", True)
     from fluidnexus_tpu.data.scene import read_scene
 
     cfg.model.is_bg = True

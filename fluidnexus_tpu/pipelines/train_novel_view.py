@@ -130,30 +130,40 @@ def train(args, log=print):
     t0 = time.time()
     profile_cm = trace(getattr(args, "profile_dir", ""))
     profile_cm.__enter__()
-    for it in range(1, args.iterations + 1):
-        tgt, cond, dt = ds.sample_batch(args.batch, rng_np)
-        rng, k = jax.random.split(rng)
-        tgt = jax.device_put(jnp.asarray(tgt), data_sh)
-        cond = jax.device_put(jnp.asarray(cond), data_sh)
-        dt_j = jax.device_put(jnp.asarray(dt, jnp.float32), data_sh)
-        params, opt_state, loss = train_step(params, opt_state, tgt, cond, dt_j, k)
-        if it % args.log_every == 0:
-            ips = it / (time.time() - t0)
-            mem = device_memory_stats()
-            mem_s = f" peak {mem['peak_mib']:.0f}MiB" if "peak_mib" in mem else ""
-            log(f"iter {it}/{args.iterations} loss {float(loss):.5f} "
-                f"({ips:.2f} it/s){mem_s}")
-            tb.scalar("train/loss", float(loss), it)
-            tb.scalar("train/lr_abs", base_lr, it)
-            tb.scalar("perf/iters_per_sec", ips, it)
-            tb.scalars("perf", mem, it)
-        if tb.enabled and args.sample_every and (it == 1 or it % args.sample_every == 0):
-            rng, ks = jax.random.split(rng)
-            log_images(it, tgt, cond, dt_j, ks)
-        if args.save_dir and it % args.save_every == 0:
-            save_params(os.path.join(args.save_dir, f"iter_{it:07d}"), jax.device_get(params))
-    profile_cm.__exit__(None, None, None)
-    tb.close()
+    try:
+        for it in range(1, args.iterations + 1):
+            tgt, cond, dt = ds.sample_batch(args.batch, rng_np)
+            rng, k = jax.random.split(rng)
+            tgt = jax.device_put(jnp.asarray(tgt), data_sh)
+            cond = jax.device_put(jnp.asarray(cond), data_sh)
+            dt_j = jax.device_put(jnp.asarray(dt, jnp.float32), data_sh)
+            params, opt_state, loss = train_step(params, opt_state, tgt, cond, dt_j, k)
+            if it % args.log_every == 0:
+                ips = it / (time.time() - t0)
+                mem = device_memory_stats()
+                mem_s = f" peak {mem['peak_mib']:.0f}MiB" if "peak_mib" in mem else ""
+                log(f"iter {it}/{args.iterations} loss {float(loss):.5f} "
+                    f"({ips:.2f} it/s){mem_s}")
+                tb.scalar("train/loss", float(loss), it)
+                tb.scalar("train/lr_abs", base_lr, it)
+                tb.scalar("perf/iters_per_sec", ips, it)
+                tb.scalars("perf", mem, it)
+            if tb.enabled and args.sample_every and (it == 1 or it % args.sample_every == 0):
+                rng, ks = jax.random.split(rng)
+                log_images(it, tgt, cond, dt_j, ks)
+            if args.save_dir and it % args.save_every == 0:
+                save_params(os.path.join(args.save_dir, f"iter_{it:07d}"),
+                            jax.device_get(params))
+    except KeyboardInterrupt:
+        # melk parity (Zero123/main.py:254-260 + custom_callbacks.py:34-38):
+        # save a last checkpoint on interrupt, then re-raise
+        if args.save_dir:
+            save_params(os.path.join(args.save_dir, "last"), jax.device_get(params))
+            log(f"interrupted: saved {os.path.join(args.save_dir, 'last')}")
+        raise
+    finally:
+        profile_cm.__exit__(None, None, None)
+        tb.close()
     return params, float(loss)
 
 

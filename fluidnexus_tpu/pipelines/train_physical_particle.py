@@ -446,6 +446,8 @@ def main(argv=None):
         resume = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
     cfg = parse_cli(argv, description="train physical particles")
+    if cfg.detect_anomaly:  # --detect_anomaly parity (helper_parser.py:24,46)
+        jax.config.update("jax_debug_nans", True)
     if cfg.model.model_path:
         dump_config(cfg, os.path.join(cfg.model.model_path, "cfg_args.json"))
     writer = None

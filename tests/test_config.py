@@ -65,3 +65,12 @@ def test_shipped_configs_load_and_pin_values():
     assert bg.model.init_pcd_bg is True
     scalar = load_config(os.path.join(root, "scalar_dynamics.json"))
     assert scalar.model.gray_image or scalar.model.loader in ("colmap", "scalar_real")
+
+
+def test_detect_anomaly_flag():
+    """--detect_anomaly parity (helper_parser.py:24,46): top-level flag,
+    default off, settable from CLI and JSON."""
+    from fluidnexus_tpu.core.config import parse_cli
+
+    assert parse_cli([]).detect_anomaly is False
+    assert parse_cli(["--detect_anomaly"]).detect_anomaly is True

@@ -10,8 +10,15 @@ import pytest
 
 
 def _import_reference_unet():
+    import importlib.machinery
+
     for name in ("torchvision", "carvekit", "carvekit.api", "carvekit.api.high"):
-        sys.modules.setdefault(name, types.ModuleType(name))
+        mod = types.ModuleType(name)
+        # a real ModuleSpec: transformers later calls find_spec("torchvision"),
+        # which raises ValueError on an in-sys.modules module whose __spec__
+        # is None (this was the full-suite-only test_t5_conditioner error)
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+        sys.modules.setdefault(name, mod)
     tv = sys.modules["torchvision"]
     tv.utils = types.ModuleType("tv.utils")
     tv.utils.make_grid = lambda *a, **k: None
