@@ -45,7 +45,10 @@ class VideoDiTConfig:
     latent_frames: int = 13          # compressed_num_frames
     latent_height: int = 60
     latent_width: int = 90
-    time_embed_dim: Optional[int] = None
+    # 512 in the released 5B (cogvideox_5b_lora_prefixi2v.yaml:31); None
+    # falls back to hidden_size, which at 3072 would put a 3072x36864 AdaLN
+    # projection in EVERY layer (+4.7B params — not the reference geometry)
+    time_embed_dim: Optional[int] = 512
     mlp_ratio: int = 4
     lora_rank: int = 0               # 0 disables LoRA params
     dtype: jnp.dtype = jnp.bfloat16

@@ -41,7 +41,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
-BLOCK = 64          # Gaussians per triangular-prefix block
+BLOCK = 128         # Gaussians per triangular-prefix block: the LT/SU
+                    # prefix matmuls contract over B, and the MXU contracts
+                    # 128 wide — B=64 half-fills it
 TILES_PER_PROGRAM = 8      # fwd tiles per grid program (amortizes overhead)
 BWD_TILES_PER_PROGRAM = 4  # block-streamed bwd working set is O(BLOCK*P)
 LOG_EPS = 1e-37     # log floor (a_eff <= 0.99 keeps log1p(-a) >= log(0.01))

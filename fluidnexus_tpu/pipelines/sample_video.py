@@ -41,6 +41,21 @@ def main(argv=None):
     ap.add_argument("--pack_video", action="store_true",
                     help="also pack frames into a video file (mp4 or MJPEG avi)")
     ap.add_argument("--fps", type=int, default=8)
+    ap.add_argument("--base", nargs="+", default=[],
+                    help="reference CogVideoX YAML config(s) (merged in order; "
+                         "sampler/model geometry defaults come from them)")
+    pre, _ = ap.parse_known_args(argv)
+    run_cfg = None
+    if pre.base:
+        from fluidnexus_tpu.diffusion.video.config_yaml import load_cogvideox_yaml
+
+        run_cfg = load_cogvideox_yaml(pre.base)
+        ap.set_defaults(num_frames=run_cfg.train.max_num_frames,
+                        num_steps=run_cfg.sampler.num_steps,
+                        cfg_scale=run_cfg.sampler.scale,
+                        height=run_cfg.train.video_size[0],
+                        width=run_cfg.train.video_size[1],
+                        t5_dir=run_cfg.t5_dir)
     args = ap.parse_args(argv)
 
     lat_t = (args.num_frames - 1) // 4 + 1
@@ -51,6 +66,14 @@ def main(argv=None):
                                  dtype=jnp.float32)
         vae_cfg = VAE3DConfig(ch=16, ch_mult=(1, 2, 2, 4), num_res_blocks=1)
         txt_hidden = 64
+    elif run_cfg is not None:
+        import dataclasses
+
+        dit_cfg = dataclasses.replace(run_cfg.dit, latent_frames=lat_t,
+                                      latent_height=args.height // 8,
+                                      latent_width=args.width // 8)
+        vae_cfg = run_cfg.vae
+        txt_hidden = dit_cfg.text_hidden_size
     else:
         dit_cfg = VideoDiTConfig(latent_frames=lat_t, latent_height=args.height // 8,
                                  latent_width=args.width // 8)

@@ -48,23 +48,34 @@ def test_5b_denoise_forward_single_chip():
 
     @jax.jit
     def denoise(p, x, t, txt):
-        return model.apply({"params": p}, x, t, txt)
+        # reduce on device so each timed step returns a scalar whose host
+        # fetch forces real execution (relay-proof timing)
+        out = model.apply({"params": p}, x, t, txt)
+        return out, jnp.sum(out.astype(jnp.float32))
 
-    out = denoise(params, lat, t, txt)
-    jax.block_until_ready(out)
+    out, s = denoise(params, lat, t, txt)
+    assert np.isfinite(float(s))
     assert out.shape == (1, cfg.latent_frames, cfg.out_channels,
                          cfg.latent_height, cfg.latent_width)
 
     t0 = time.perf_counter()
     for _ in range(3):
-        out = denoise(params, lat, t, txt)
-    jax.block_until_ready(out)
+        _, s = denoise(params, lat, t, txt)
+        float(s)
     dt = (time.perf_counter() - t0) / 3
     mem = jax.local_devices()[0].memory_stats() or {}
     peak = mem.get("peak_bytes_in_use", 0) / 2**30
     print(f"5B denoise fwd: {dt*1e3:.1f} ms/step, peak HBM {peak:.2f} GiB, "
           f"{n_params/1e9:.2f}B params")
-    assert peak < 15.5, f"peak HBM {peak:.2f} GiB exceeds single-chip budget"
+    if "peak_bytes_in_use" in mem:
+        assert peak < 15.5, f"peak HBM {peak:.2f} GiB exceeds single-chip budget"
+    # the COMPILER's accounting always exists: program + args must fit
+    m = denoise.lower(params, lat, t, txt).compile().memory_analysis()
+    if m is not None:
+        total = (m.temp_size_in_bytes + m.argument_size_in_bytes) / 2**30
+        print(f"compiled footprint {total:.2f} GiB "
+              f"(temp {m.temp_size_in_bytes/2**30:.2f})")
+        assert total < 15.5, total
 
 
 if __name__ == "__main__":

@@ -21,7 +21,8 @@ from fluidnexus_tpu.diffusion.video.dit import VideoDiT, VideoDiTConfig
 
 CFG = VideoDiTConfig(hidden_size=64, num_layers=2, num_heads=4, text_hidden_size=32,
                      text_length=4, latent_frames=3, latent_height=16, latent_width=16,
-                     in_channels=16, out_channels=16, dtype=jnp.float32, ln_affine=True)
+                     in_channels=16, out_channels=16, dtype=jnp.float32, ln_affine=True,
+                     time_embed_dim=None)  # oracle's time_embed is hidden-sized
 
 
 def make_state_dict(cfg, rng):
