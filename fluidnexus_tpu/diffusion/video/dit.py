@@ -193,9 +193,21 @@ def _joint_attention(q, k, v):
     if jax.default_backend() == "tpu" and s >= 512 and d % 64 == 0:
         try:
             from jax.experimental.pallas.ops.tpu.flash_attention import (
-                SegmentIds, flash_attention)
+                BlockSizes, SegmentIds, flash_attention)
 
             pad = (-s) % 512
+            sp = s + pad
+            # the library default is 128-blocks — device-profiled at ~2% MXU
+            # on the 5B shape (48 heads x 17920: 940k block iterations, each
+            # a 64-deep half-MXU matmul + softmax-carry overhead). 512-blocks
+            # (sp is always a 512 multiple here) run 16x fewer iterations
+            # with full-depth contractions.
+            bs = 512 if sp % 512 == 0 else 128
+            blocks = BlockSizes(
+                block_q=bs, block_k_major=bs, block_k=bs, block_b=1,
+                block_q_major_dkv=bs, block_k_major_dkv=bs, block_k_dkv=bs,
+                block_q_dkv=bs, block_k_major_dq=bs, block_k_dq=bs,
+                block_q_dq=bs)
             if pad:
                 qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
                 kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
@@ -203,9 +215,11 @@ def _joint_attention(q, k, v):
                 seg = jnp.concatenate(
                     [jnp.ones((b, s), jnp.int32), jnp.zeros((b, pad), jnp.int32)], 1)
                 out = flash_attention(qp, kp, vp, segment_ids=SegmentIds(seg, seg),
-                                      causal=False, sm_scale=1.0 / float(np.sqrt(d)))
+                                      causal=False, sm_scale=1.0 / float(np.sqrt(d)),
+                                      block_sizes=blocks)
                 return out[:, :, :s].transpose(0, 2, 1, 3)
-            out = flash_attention(q, k, v, causal=False, sm_scale=1.0 / float(np.sqrt(d)))
+            out = flash_attention(q, k, v, causal=False, sm_scale=1.0 / float(np.sqrt(d)),
+                                  block_sizes=blocks)
             return out.transpose(0, 2, 1, 3)
         except Exception:
             pass

@@ -41,9 +41,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
-BLOCK = 128         # Gaussians per triangular-prefix block: the LT/SU
-                    # prefix matmuls contract over B, and the MXU contracts
-                    # 128 wide — B=64 half-fills it
+BLOCK = 64          # Gaussians per triangular-prefix block. B=128 was
+                    # device-measured SLOWER (87.0 vs 89.6 fps): the LT/SU
+                    # prefix matmuls scale O(B^2 P), so doubling B doubles
+                    # their FLOPs — exactly cancelling the 128-wide MXU
+                    # contraction win — while the bigger working set halves
+                    # tiles-per-program
 TILES_PER_PROGRAM = 8      # fwd tiles per grid program (amortizes overhead)
 BWD_TILES_PER_PROGRAM = 4  # block-streamed bwd working set is O(BLOCK*P)
 LOG_EPS = 1e-37     # log floor (a_eff <= 0.99 keeps log1p(-a) >= log(0.01))
