@@ -92,8 +92,14 @@ class VanillaCFG:
 def _denoise_cfg(denoiser, guider, x, alpha_sqrt, t_idx, cond, uc, step_index):
     if uc is None:
         return denoiser(x, alpha_sqrt, t_idx, cond)
-    dc = denoiser(x, alpha_sqrt, t_idx, cond)
-    du = denoiser(x, alpha_sqrt, t_idx, uc)
+    # ONE batch-2 forward for cond+uncond instead of two sequential passes
+    # (the reference runs them separately, gen_refine_pi2v_long offload
+    # path): halves kernel launches and doubles the matmul batch — identical
+    # numerics, the DiT has no cross-batch ops
+    xx = jnp.concatenate([x, x], axis=0)
+    cc = jnp.concatenate([cond, uc], axis=0)
+    d = denoiser(xx, alpha_sqrt, t_idx, cc)
+    dc, du = jnp.split(d, 2, axis=0)
     return guider(du, dc, step_index)
 
 
