@@ -54,6 +54,9 @@ class RasterizerConfig:
     chunk: int = 32           # Gaussians per compositing scan step
     near: float = 0.2         # frustum near-cull plane (auxiliary.h in_frustum)
     backend: str = "xla"      # "xla" | "pallas" | "auto" (pallas on TPU when shapes allow)
+    tight_cull: bool = True   # drop (gaussian,tile) slots that cannot reach
+                              # alpha 1/255 anywhere in the tile (output-exact;
+                              # see _build_tile_lists)
 
     def resolved_backend(self) -> str:
         if self.backend != "auto":
@@ -234,10 +237,21 @@ def _tile_rects(proj: Projected, cfg: RasterizerConfig, tiles_x, tiles_y):
     return xmin, ymin, w, h
 
 
-def _build_tile_lists(proj: Projected, cfg: RasterizerConfig, tiles_x: int, tiles_y: int):
+def _build_tile_lists(proj: Projected, cfg: RasterizerConfig, tiles_x: int, tiles_y: int,
+                      opacities=None):
     """Duplicate Gaussians into tile slots, lexsort by (tile, depth), and cut
     per-tile top-K lists. Static-shape analog of duplicateWithKeys + radix
-    sort + identifyTileRanges (rasterizer_impl.cu:67-133)."""
+    sort + identifyTileRanges (rasterizer_impl.cu:67-133).
+
+    Tight culling (beyond the reference's rect test): a (gaussian, tile) slot
+    is dropped when even the MAX of its alpha over the tile cannot reach the
+    1/255 compositing cutoff. Conservative eigenvalue bound: power(p) <=
+    -d(p)^2 / (2*lam1) with d the Euclidean distance to the tile rect and
+    lam1 the 2D covariance's top eigenvalue (radius = ceil(3*sqrt(lam1))), so
+    culling iff d^2 > 2*ln(255*op)*lam1 removes only entries the per-pixel
+    alpha test (forward.cu:329-338) would skip anyway — output-exact, but
+    tiles overflow their K capacity later and sparse tiles run the
+    half-length kernel branch more often."""
     n = proj.xy.shape[0]
     d = cfg.dup_x * cfg.dup_y
     num_tiles = tiles_x * tiles_y
@@ -248,6 +262,16 @@ def _build_tile_lists(proj: Projected, cfg: RasterizerConfig, tiles_x: int, tile
     dy = slot // cfg.dup_x
     # (N,D) tile ids; sentinel num_tiles for unused slots
     in_rect = (dx[None, :] < w[:, None]) & (dy[None, :] < h[:, None]) & proj.valid[:, None]
+    tx0 = (xmin[:, None] + dx[None, :]).astype(jnp.float32) * cfg.tile_x
+    ty0 = (ymin[:, None] + dy[None, :]).astype(jnp.float32) * cfg.tile_y
+    if opacities is not None and cfg.tight_cull:
+        px = proj.xy[:, 0:1]
+        py = proj.xy[:, 1:2]
+        ddx = jnp.maximum(jnp.maximum(tx0 - px, px - (tx0 + cfg.tile_x)), 0.0)
+        ddy = jnp.maximum(jnp.maximum(ty0 - py, py - (ty0 + cfg.tile_y)), 0.0)
+        lam1 = (proj.radius[:, None] / 3.0) ** 2
+        thresh = 2.0 * jnp.maximum(jnp.log(255.0 * opacities[:, None]), 0.0) * lam1
+        in_rect = in_rect & (ddx * ddx + ddy * ddy <= thresh)
     tile = (ymin[:, None] + dy[None, :]) * tiles_x + (xmin[:, None] + dx[None, :])
     tile = jnp.where(in_rect, tile, num_tiles).astype(jnp.int32)
 
@@ -427,7 +451,8 @@ def rasterize(
         xy_offset,
     )
     tile_gauss, live = _build_tile_lists(
-        jax.tree.map(jax.lax.stop_gradient, proj), cfg, tiles_x, tiles_y
+        jax.tree.map(jax.lax.stop_gradient, proj), cfg, tiles_x, tiles_y,
+        opacities=jax.lax.stop_gradient(opacities),
     )
     if cfg.resolved_backend() == "pallas":
         from fluidnexus_tpu.ops.rasterizer_pallas import composite_tiles_packed

@@ -149,3 +149,40 @@ def test_depth_sorted_compositing_order():
     np.testing.assert_allclose(a, b, atol=1e-5)
     center = a[:, 16, 16]
     assert center[0] > center[1]  # red (near) dominates
+
+
+def test_tight_culling_exact_and_effective():
+    """Tight ellipse-rect culling must be OUTPUT-EXACT (it may only drop
+    (gaussian, tile) slots whose alpha stays under the 1/255 per-pixel skip,
+    forward.cu:329-338) and must actually drop slots on scenes with large
+    gaussians."""
+    import dataclasses
+
+    from fluidnexus_tpu.ops.rasterizer import _build_tile_lists, project_gaussians
+
+    cam = make_camera(width=128, height=128)
+    means, cols, ops, scales, rots = random_scene(n=80, c=3, seed=11)
+    scales = scales * 2.0  # 1-2.5-tile radii: corner tiles listed, unclamped
+    cfg = RasterizerConfig(tile_capacity=512, chunk=16, dup_x=4, dup_y=4, backend="xla")
+    cfg_off = dataclasses.replace(cfg, tight_cull=False)
+    kw = dict(view_matrix=jnp.asarray(cam.world_view), proj_matrix=jnp.asarray(cam.full_proj),
+              tan_fovx=cam.tan_fovx, tan_fovy=cam.tan_fovy, width=cam.width,
+              height=cam.height, bg_color=jnp.zeros(3))
+    args = (jnp.asarray(means), jnp.asarray(cols), jnp.asarray(ops),
+            jnp.asarray(scales), jnp.asarray(rots))
+
+    out_on = rasterize(*args, **kw, config=cfg)
+    out_off = rasterize(*args, **kw, config=cfg_off)
+    # only compositing ORDER packing changes -> fp-noise-level differences
+    np.testing.assert_allclose(np.asarray(out_on.color), np.asarray(out_off.color),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_on.final_t), np.asarray(out_off.final_t),
+                               atol=1e-5)
+
+    proj = project_gaussians(args[0], args[3], args[4],
+                             jnp.asarray(cam.world_view), jnp.asarray(cam.full_proj),
+                             cam.tan_fovx, cam.tan_fovy, cam.width, cam.height)
+    _, live_on = _build_tile_lists(proj, cfg, 8, 8, opacities=args[2])
+    _, live_off = _build_tile_lists(proj, cfg_off, 8, 8, opacities=args[2])
+    n_on, n_off = int(jnp.sum(live_on)), int(jnp.sum(live_off))
+    assert n_on < n_off, (n_on, n_off)
