@@ -135,37 +135,45 @@ class NovelViewModel:
     def ddim_sample(self, params, cond_image, pose_delta, rng, num_steps=50,
                     cfg_scale=3.0, eta=1.0, image_size=256):
         """DDIMSampler.sample with CFG (helpers/test_helpers.py:38-66: S=50,
-        scale 3.0, eta 1.0). Returns decoded images (B,H,W,3) in [0,1]."""
+        scale 3.0, eta 1.0). Returns decoded images (B,H,W,3) in [0,1].
+
+        TPU shape: ONE lax.scan over the step schedule (the reference loops
+        in Python with two UNet launches per step; under jit that unrolled
+        into a 100-UNet-instance graph with minutes of compile) and cond +
+        uncond batched into a single batch-2B UNet pass per step."""
         b = cond_image.shape[0]
         lat = image_size // self.downsample_factor
         ctx, concat = self.conditioning(params, cond_image, pose_delta)
-        uc_ctx = jnp.zeros_like(ctx)
-        uc_concat = jnp.zeros_like(concat)
+        ctx2 = jnp.concatenate([ctx, jnp.zeros_like(ctx)], 0)
+        concat2 = jnp.concatenate([concat, jnp.zeros_like(concat)], 0)
 
-        times = np.linspace(0, self.num_timesteps - 1, num_steps).astype(int)[::-1]
+        times = np.linspace(0, self.num_timesteps - 1, num_steps).astype(int)[::-1].copy()
+        ac = np.asarray(self.schedule.alphas_cumprod, np.float64)
+        a_t = ac[times]
+        a_prev = np.concatenate([ac[times[1:]], [1.0]])
+        sigma = eta * np.sqrt((1 - a_prev) / (1 - a_t) * (1 - a_t / a_prev))
+        dir_coef = np.sqrt(np.maximum(1 - a_prev - sigma**2, 0.0))
+        xs = (jnp.asarray(times, jnp.int32),
+              jnp.asarray(a_t, jnp.float32), jnp.asarray(a_prev, jnp.float32),
+              jnp.asarray(sigma, jnp.float32), jnp.asarray(dir_coef, jnp.float32),
+              jnp.arange(num_steps, dtype=jnp.int32))
+
         rng, k0 = jax.random.split(rng)
-        x = jax.random.normal(k0, (b, lat, lat, self.unet_config.out_channels))
+        x0 = jax.random.normal(k0, (b, lat, lat, self.unet_config.out_channels))
 
-        ac = np.asarray(self.schedule.alphas_cumprod)
-        for i, t in enumerate(times):
-            t_prev = times[i + 1] if i + 1 < len(times) else -1
-            a_t = ac[t]
-            a_prev = ac[t_prev] if t_prev >= 0 else 1.0
-            tv = jnp.full((b,), t, jnp.int32)
-
-            eps_c = self.unet.apply({"params": params["unet"]},
-                                    jnp.concatenate([x, concat], -1), tv, ctx)
-            eps_u = self.unet.apply({"params": params["unet"]},
-                                    jnp.concatenate([x, uc_concat], -1), tv, uc_ctx)
+        def step(x, inp):
+            t, at, ap, sg, dc, i = inp
+            tv = jnp.full((2 * b,), t, jnp.int32)
+            x2 = jnp.concatenate([x, x], 0)
+            eps2 = self.unet.apply({"params": params["unet"]},
+                                   jnp.concatenate([x2, concat2], -1), tv, ctx2)
+            eps_c, eps_u = jnp.split(eps2, 2, 0)
             eps = eps_u + cfg_scale * (eps_c - eps_u)
+            pred_x0 = (x - jnp.sqrt(1 - at) * eps) / jnp.sqrt(at)
+            noise = sg * jax.random.normal(jax.random.fold_in(rng, i), x.shape)
+            return jnp.sqrt(ap) * pred_x0 + dc * eps + noise, None
 
-            pred_x0 = (x - math.sqrt(1 - a_t) * eps) / math.sqrt(a_t)
-            sigma = eta * math.sqrt((1 - a_prev) / (1 - a_t) * (1 - a_t / a_prev))
-            dir_xt = math.sqrt(max(1 - a_prev - sigma**2, 0.0)) * eps
-            rng, kn = jax.random.split(rng)
-            noise = sigma * jax.random.normal(kn, x.shape) if sigma > 0 else 0.0
-            x = math.sqrt(a_prev) * pred_x0 + dir_xt + noise
-
+        x, _ = jax.lax.scan(step, x0, xs)
         img = self.vae.apply({"params": params["vae"]}, x, method=self.vae.decode)
         return jnp.clip((img + 1) / 2, 0.0, 1.0)
 

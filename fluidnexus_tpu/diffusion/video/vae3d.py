@@ -27,6 +27,7 @@ TPU redesign:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -342,27 +343,94 @@ class VideoVAE(nn.Module):
         return self.decode(z), z
 
 
-def chunked_decode(vae: VideoVAE, params, z, chunk: int = 2):
+def chunked_decode(vae: VideoVAE, params, z, chunk: int = 2,
+                   first_latents: Optional[int] = None):
     """Serial chunked decode with the conv cache carried across chunks — the
     reference's fake-CP path (gen_refine_pi2v_long.py:253-265, 2 latent
-    frames per call). z: (B, T, H, W, C) channel-last latents."""
+    frames per call). z: (B, T, H, W, C) channel-last latents.
+
+    Each chunk runs as ONE jitted graph with the incoming conv cache DONATED:
+    un-jitted op-by-op dispatch double-buffers the multi-GiB full-resolution
+    caches and OOMs a 16 GiB chip at the real 480x720 geometry.
+
+    first_latents overrides the first chunk's latent count (default:
+    chunk + remainder, the reference split). The real-shape 3-latent first
+    chunk compiles to a 16.5 GiB program — 0.7 GiB over a v5e chip — while
+    first_latents=1 (the 4k+1 head frame decodes alone) peaks at the
+    2-latent chunk (~7.3 GiB bf16 temp) and fits."""
     t = z.shape[1]
     # the odd remainder goes to the FIRST chunk, so the temporal first-frame
     # split happens exactly once (gen_refine_pi2v_long.py:253-257)
     rem = t % chunk
+    first = (chunk + rem) if first_latents is None else first_latents
+    assert first >= 1 and (t - first) % chunk == 0, (t, first, chunk)
     bounds = []
     start = 0
     while start < t:
-        end = (chunk + rem) if start == 0 else start + chunk
+        end = first if start == 0 else start + chunk
         bounds.append((start, min(end, t)))
         start = end
+
+    @jax.jit
+    def run_first(p, zc):
+        out, mut = vae.apply({"params": p}, zc, first_chunk=True,
+                             method=vae.decode, mutable=["cache"])
+        return out, mut["cache"]
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def run_next(p, cache, zc):
+        out, mut = vae.apply({"params": p, "cache": cache}, zc, first_chunk=False,
+                             method=vae.decode, mutable=["cache"])
+        return out, mut["cache"]
+
     outs = []
     cache = None
     for i, (s, e) in enumerate(bounds):
         zc = z[:, s:e]
-        variables = {"params": params} if cache is None else {"params": params, "cache": cache}
-        out, mut = vae.apply(variables, zc, first_chunk=i == 0, method=vae.decode,
-                             mutable=["cache"])
-        cache = mut["cache"]
+        if cache is None:
+            out, cache = run_first(params, zc)
+        else:
+            out, cache = run_next(params, cache, zc)
         outs.append(out)
     return jnp.concatenate(outs, axis=1)
+
+
+def spatial_tiled_decode(vae: VideoVAE, params, z, chunk: int = 2,
+                         first_latents: Optional[int] = None,
+                         tiles: int = 2, halo: int = 8):
+    """Chunked decode in `tiles` overlapping WIDTH tiles with a linear
+    crossfade over the halo — the community "tiled VAE" recipe for decoders
+    whose full-frame activations exceed one device's HBM (the real 480x720
+    CogVideoX geometry compiles to ~16.2 GiB on a 15.75 GiB v5e even at
+    bf16/2-latent chunks; two 53-wide latent tiles fit comfortably).
+
+    Exact in tile interiors (convs see `halo` latent pixels = 8*halo output
+    pixels of real context, beyond the decoder's receptive field for the
+    default 8); the spatial GroupNorm statistics are per-tile — the same
+    class of approximation the temporal chunking already carries.
+    """
+    b, t, h, w, c = z.shape
+    if tiles <= 1:
+        return chunked_decode(vae, params, z, chunk, first_latents)
+    sf = 2 ** (len(vae.cfg.ch_mult) - 1)   # spatial upsample factor (8)
+    xs = np.linspace(0, w, tiles + 1).astype(int)
+    outs = []
+    for i in range(tiles):
+        x0 = max(xs[i] - halo, 0)
+        x1 = min(xs[i + 1] + halo, w)
+        tile = chunked_decode(vae, params, z[:, :, :, x0:x1], chunk, first_latents)
+        outs.append((tile, x0 * sf, xs[i] * sf, xs[i + 1] * sf))
+
+    full = jnp.zeros(outs[0][0].shape[:3] + (w * sf, outs[0][0].shape[-1]),
+                     outs[0][0].dtype)
+    weight = jnp.zeros((w * sf,), jnp.float32)
+    for tile, off, lo, hi in outs:
+        tw = tile.shape[3]
+        # linear ramp over the halo region, flat inside [lo, hi)
+        pos = jnp.arange(tw, dtype=jnp.float32) + off
+        ramp_in = jnp.clip((pos - (lo - halo * sf)) / max(halo * sf, 1), 0.0, 1.0)
+        ramp_out = jnp.clip(((hi + halo * sf) - pos) / max(halo * sf, 1), 0.0, 1.0)
+        wgt = jnp.minimum(ramp_in, ramp_out)
+        full = full.at[:, :, :, off:off + tw].add(tile * wgt[None, None, None, :, None])
+        weight = weight.at[off:off + tw].add(wgt)
+    return full / jnp.maximum(weight, 1e-6)[None, None, None, :, None]

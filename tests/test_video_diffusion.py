@@ -154,3 +154,37 @@ def test_dynamic_cfg_schedule():
     late = g(u, c, 50)     # final: 1 + 6*(1-cos(pi))/2 = 7
     assert float(early[0, 0]) < 1.5
     np.testing.assert_allclose(float(late[0, 0]), 7.0, atol=1e-6)
+
+
+def test_vae_spatial_tiled_decode_matches_serial():
+    """Width-tiled decode with halo crossfade (the single-chip fallback for
+    the real 480x720 geometry whose full-frame decode exceeds 16 GiB HBM)
+    must closely match the untiled chunked decode — same approximation class
+    as the temporal chunking (per-tile GroupNorm statistics)."""
+    from fluidnexus_tpu.diffusion.video.vae3d import spatial_tiled_decode
+
+    vae = VideoVAE(TINY_VAE)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 9, 16, 32, 3))
+    params = vae.init({"params": jax.random.PRNGKey(1)}, x)["params"]
+    z = vae.apply({"params": params}, x, method=vae.encode, mutable=["cache"])[0]
+    serial = chunked_decode(vae, params, z, chunk=2)
+    tiled = spatial_tiled_decode(vae, params, z, chunk=2, tiles=2, halo=4)
+    assert tiled.shape == serial.shape
+    d = np.abs(np.asarray(tiled) - np.asarray(serial))
+    assert d.mean() < 0.06, d.mean()
+    corr = np.corrcoef(np.asarray(tiled).ravel(), np.asarray(serial).ravel())[0, 1]
+    assert corr > 0.99, corr
+
+
+def test_vae_chunked_decode_first_latents_split():
+    """first_latents=1 (memory-tight split: the 4k+1 head frame decodes
+    alone) must produce the same frame count and near-identical output."""
+    vae = VideoVAE(TINY_VAE)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 9, 16, 16, 3))
+    params = vae.init({"params": jax.random.PRNGKey(1)}, x)["params"]
+    z = vae.apply({"params": params}, x, method=vae.encode, mutable=["cache"])[0]
+    ref = chunked_decode(vae, params, z, chunk=2)                    # [3,2] split
+    alt = chunked_decode(vae, params, z, chunk=2, first_latents=1)   # [1,2,2]
+    assert alt.shape == ref.shape
+    corr = np.corrcoef(np.asarray(alt).ravel(), np.asarray(ref).ravel())[0, 1]
+    assert corr > 0.98, corr
