@@ -421,8 +421,9 @@ def spatial_tiled_decode(vae: VideoVAE, params, z, chunk: int = 2,
         tile = chunked_decode(vae, params, z[:, :, :, x0:x1], chunk, first_latents)
         outs.append((tile, x0 * sf, xs[i] * sf, xs[i + 1] * sf))
 
+    out_dtype = outs[0][0].dtype
     full = jnp.zeros(outs[0][0].shape[:3] + (w * sf, outs[0][0].shape[-1]),
-                     outs[0][0].dtype)
+                     jnp.float32)
     weight = jnp.zeros((w * sf,), jnp.float32)
     for tile, off, lo, hi in outs:
         tw = tile.shape[3]
@@ -431,6 +432,8 @@ def spatial_tiled_decode(vae: VideoVAE, params, z, chunk: int = 2,
         ramp_in = jnp.clip((pos - (lo - halo * sf)) / max(halo * sf, 1), 0.0, 1.0)
         ramp_out = jnp.clip(((hi + halo * sf) - pos) / max(halo * sf, 1), 0.0, 1.0)
         wgt = jnp.minimum(ramp_in, ramp_out)
-        full = full.at[:, :, :, off:off + tw].add(tile * wgt[None, None, None, :, None])
+        full = full.at[:, :, :, off:off + tw].add(
+            tile.astype(jnp.float32) * wgt[None, None, None, :, None])
         weight = weight.at[off:off + tw].add(wgt)
-    return full / jnp.maximum(weight, 1e-6)[None, None, None, :, None]
+    blended = full / jnp.maximum(weight, 1e-6)[None, None, None, :, None]
+    return blended.astype(out_dtype)
