@@ -70,8 +70,19 @@ class VideoEngine:
                               method=self.vae.encode, mutable=["cache"])
         return z
 
-    def decode_first_stage(self, vae_params, z, chunk: int = 2):
-        return chunked_decode(self.vae, vae_params, z, chunk=chunk)
+    def decode_first_stage(self, vae_params, z, chunk: int = 2,
+                           spatial_tiles: int = 1, first_latents=None):
+        """Chunked (and optionally width-tiled) decode. spatial_tiles > 1 +
+        first_latents=1 is the single-16GiB-chip recipe for the real 480x720
+        geometry (see vae3d.spatial_tiled_decode)."""
+        if spatial_tiles > 1:
+            from fluidnexus_tpu.diffusion.video.vae3d import spatial_tiled_decode
+
+            return spatial_tiled_decode(self.vae, vae_params, z, chunk=chunk,
+                                        first_latents=first_latents,
+                                        tiles=spatial_tiles)
+        return chunked_decode(self.vae, vae_params, z, chunk=chunk,
+                              first_latents=first_latents)
 
     # --------------------------------- loss ---------------------------------
 

@@ -56,7 +56,9 @@ def refine_future(
         prefix_clean_frames=z_tchw[:, :n_pre], cfg_scale=cfg.cfg_scale,
     )
     decoded = engine.decode_first_stage(
-        vae_params, jnp.transpose(out_lat, (0, 1, 3, 4, 2)), chunk=cfg.decode_chunk)
+        vae_params, jnp.transpose(out_lat, (0, 1, 3, 4, 2)), chunk=cfg.decode_chunk,
+        spatial_tiles=getattr(cfg, 'decode_tiles', 1),
+        first_latents=getattr(cfg, 'decode_first_latents', 0) or None)
     out_frames = np.asarray(decoded[0])[pre:]
     save_frames(out_folder, out_frames, start_index=gen_future_since)
     log(f"{camera_name}: wrote {len(out_frames)} refined future frames to {out_folder}")

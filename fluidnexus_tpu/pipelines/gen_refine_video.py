@@ -42,6 +42,10 @@ class RefineConfig:
     height: int = 480
     width: int = 720
     decode_chunk: int = 2
+    # >1: width-tiled decode (the single-16GiB-chip recipe for 480x720;
+    # pair with decode_first_latents=1 — vae3d.spatial_tiled_decode)
+    decode_tiles: int = 1
+    decode_first_latents: int = 0   # 0 = reference [chunk+rem, ...] split
 
 
 def load_frames(folder: str, indices: Sequence[int], pattern: str, height: int, width: int):
@@ -116,7 +120,10 @@ def refine_long_video(
             cfg_scale=cfg.cfg_scale,
         )
         out_lat = jnp.transpose(out_lat, (0, 1, 3, 4, 2))  # back to channel-last
-        decoded = engine.decode_first_stage(vae_params, out_lat, chunk=cfg.decode_chunk)
+        decoded = engine.decode_first_stage(
+            vae_params, out_lat, chunk=cfg.decode_chunk,
+            spatial_tiles=cfg.decode_tiles,
+            first_latents=cfg.decode_first_latents or None)
         out_frames = np.asarray(decoded[0])
 
         # window 1 writes all frames; later windows skip the re-decoded prefix
