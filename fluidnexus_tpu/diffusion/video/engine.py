@@ -64,8 +64,16 @@ class VideoEngine:
 
     # ------------------------------ first stage ------------------------------
 
-    def encode_first_stage(self, vae_params, frames, rng=None):
-        """frames: (B,T,H,W,C) in [-1,1] -> latents (B,T',H',W',Cz)."""
+    def encode_first_stage(self, vae_params, frames, rng=None, chunk: int = 0):
+        """frames: (B,T,H,W,C) in [-1,1] -> latents (B,T',H',W',Cz).
+        chunk > 0 encodes in cache-carried temporal chunks of that many
+        latent frames (vae3d.chunked_encode) — required for real 480x720
+        clips on one 16 GiB chip; 0 = whole clip in one graph (exact)."""
+        if chunk > 0:
+            from fluidnexus_tpu.diffusion.video.vae3d import chunked_encode
+
+            return chunked_encode(self.vae, vae_params, frames, chunk=chunk,
+                                  rng=rng, sample=rng is not None)
         z, _ = self.vae.apply({"params": vae_params}, frames, rng,
                               method=self.vae.encode, mutable=["cache"])
         return z

@@ -395,6 +395,57 @@ def chunked_decode(vae: VideoVAE, params, z, chunk: int = 2,
     return jnp.concatenate(outs, axis=1)
 
 
+def chunked_encode(vae: VideoVAE, params, x, chunk: int = 2, rng=None,
+                   sample: bool = False, first_latents: Optional[int] = None):
+    """Serial chunked ENCODE with the conv cache carried across chunks — the
+    mirror of chunked_decode for the training path (the reference encodes
+    whole clips on an 80 GiB A100; at 49x480x720 the un-chunked encoder's
+    first-conv activations alone are ~4 GiB x several and exceed one 16 GiB
+    chip). `chunk` counts OUTPUT latent frames (4 input frames each); the
+    first chunk takes the 4k+1 head frame plus the remainder, so the
+    temporal first-frame split happens exactly once. Each chunk is one
+    jitted graph with the incoming cache donated."""
+    t = x.shape[1]
+    ct = vae.cfg.temporal_compress_times
+    assert (t - 1) % ct == 0, f"clip length {t} is not 4k+1"
+    t_lat = (t - 1) // ct + 1
+    rem = t_lat % chunk
+    first = (chunk + rem) if first_latents is None else first_latents
+    assert first >= 1 and (t_lat - first) % chunk == 0, (t_lat, first, chunk)
+
+    bounds = [(0, 1 + (first - 1) * ct)]
+    while bounds[-1][1] < t:
+        s = bounds[-1][1]
+        bounds.append((s, s + chunk * ct))
+
+    @functools.partial(jax.jit, static_argnames=("samp",))
+    def run_first(p, xc, k, samp):
+        out, mut = vae.apply({"params": p}, xc, k, first_chunk=True, sample=samp,
+                             method=vae.encode, mutable=["cache"])
+        return out, mut["cache"]
+
+    @functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("samp",))
+    def run_next(p, cache, xc, k, samp):
+        out, mut = vae.apply({"params": p, "cache": cache}, xc, k,
+                             first_chunk=False, sample=samp,
+                             method=vae.encode, mutable=["cache"])
+        return out, mut["cache"]
+
+    outs = []
+    cache = None
+    for i, (s, e) in enumerate(bounds):
+        k = None
+        if sample and rng is not None:
+            rng, k = jax.random.split(rng)
+        xc = x[:, s:e]
+        if cache is None:
+            out, cache = run_first(params, xc, k, sample and k is not None)
+        else:
+            out, cache = run_next(params, cache, xc, k, sample and k is not None)
+        outs.append(out)
+    return jnp.concatenate(outs, axis=1)
+
+
 def spatial_tiled_decode(vae: VideoVAE, params, z, chunk: int = 2,
                          first_latents: Optional[int] = None,
                          tiles: int = 2, halo: int = 8):

@@ -137,7 +137,13 @@ def train(args, log=print):
         updates, s = opt.update(grads, s, p)
         return optax.apply_updates(p, updates), s, loss
 
-    encode = jax.jit(lambda vp, f, k: engine.encode_first_stage(vp, f, k))
+    if getattr(args, "encode_chunk", 0) > 0:
+        # chunked_encode manages its own per-chunk jits + donated caches; an
+        # outer jit would inline them into one whole-clip graph and defeat
+        # the memory chunking
+        encode = lambda vp, f, k: engine.encode_first_stage(vp, f, k, chunk=args.encode_chunk)
+    else:
+        encode = jax.jit(lambda vp, f, k: engine.encode_first_stage(vp, f, k))
     data_sh = NamedSharding(mesh, P("data"))
     rng = jax.random.PRNGKey(args.seed)
     t0 = time.time()
@@ -191,6 +197,10 @@ def build_argparser():
     ap.add_argument("--profile_dir", default="",
                     help="write an XLA profiler trace of the run here "
                          "(view in TensorBoard's Profile tab)")
+    ap.add_argument("--encode_chunk", type=int, default=0,
+                    help="encode clips in cache-carried temporal chunks of "
+                         "this many latent frames (0 = whole clip; needed "
+                         "for 480x720 clips on one 16GiB chip)")
     return ap
 
 

@@ -55,6 +55,31 @@ def test_vae_real_shape_chunked_decode_single_chip():
           f"(incl. compile), {n_params/1e6:.0f}M params")
 
 
+
+
+@requires_tpu
+def test_vae_real_shape_chunked_encode_single_chip():
+    """Training-path mirror: a full 49x480x720 clip encodes to 13x60x90x16
+    latents on one chip via cache-carried temporal chunks (the un-chunked
+    encoder's full-res activations are ~4 GiB each and OOM)."""
+    from fluidnexus_tpu.diffusion.video.vae3d import (
+        VAE3DConfig, VideoVAE, chunked_encode)
+
+    cfg = VAE3DConfig(dtype=jnp.bfloat16)
+    vae = VideoVAE(cfg)
+    params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 5, 32, 32, 3)))["params"]
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 49, 480, 720, 3), jnp.float32)
+    t0 = time.perf_counter()
+    z = chunked_encode(vae, params, x, chunk=2, first_latents=1)
+    jax.block_until_ready(z)
+    dt = time.perf_counter() - t0
+    assert z.shape == (1, 13, 60, 90, 16), z.shape
+    assert bool(jnp.isfinite(z).all())
+    print(f"VAE encode 49x480x720 -> {tuple(z.shape)}: {dt:.1f}s (incl. compile)")
+
+
 if __name__ == "__main__":
     test_vae_real_shape_chunked_decode_single_chip()
+    test_vae_real_shape_chunked_encode_single_chip()
     print("VAE real-shape smoke OK")

@@ -188,3 +188,24 @@ def test_vae_chunked_decode_first_latents_split():
     assert alt.shape == ref.shape
     corr = np.corrcoef(np.asarray(alt).ravel(), np.asarray(ref).ravel())[0, 1]
     assert corr > 0.98, corr
+
+
+def test_vae_chunked_encode_matches_full():
+    """Cache-carried chunked ENCODE (the training-path mirror of
+    chunked_decode): exact when a single chunk covers the clip; multi-chunk
+    carries only the fake-CP GroupNorm-statistics approximation."""
+    from fluidnexus_tpu.diffusion.video.vae3d import chunked_encode
+
+    vae = VideoVAE(TINY_VAE)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 13, 16, 16, 3))
+    params = vae.init({"params": jax.random.PRNGKey(1)}, x)["params"]
+    full = vae.apply({"params": params}, x, None, sample=False,
+                     method=vae.encode, mutable=["cache"])[0]
+
+    one = chunked_encode(vae, params, x, chunk=7)   # whole clip in one chunk
+    np.testing.assert_allclose(np.asarray(one), np.asarray(full), atol=1e-4)
+
+    ch = chunked_encode(vae, params, x, chunk=2)
+    assert ch.shape == full.shape
+    corr = np.corrcoef(np.asarray(ch).ravel(), np.asarray(full).ravel())[0, 1]
+    assert corr > 0.95, corr
