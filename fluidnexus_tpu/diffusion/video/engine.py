@@ -157,3 +157,28 @@ def freeze_non_lora(grads, params=None):
         return g if ("lora_a" in names or "lora_b" in names) else jnp.zeros_like(g)
 
     return jax.tree_util.tree_map_with_path(mask, grads)
+
+
+def lora_partition(params):
+    """Split the param tree into (lora, base) with identical structure —
+    non-members replaced by None (jax treats None as an empty subtree).
+    Differentiating w.r.t. ONLY the lora tree never materializes base-param
+    cotangents: at 5B that is ~10.4 GiB of gradients the freeze_non_lora
+    path would allocate and then zero. Recombine with lora_merge."""
+
+    def is_lora(path):
+        names = "/".join(str(getattr(p, "key", getattr(p, "name", p))) for p in path)
+        return "lora_a" in names or "lora_b" in names
+
+    lora = jax.tree_util.tree_map_with_path(
+        lambda p, v: v if is_lora(p) else None, params)
+    base = jax.tree_util.tree_map_with_path(
+        lambda p, v: None if is_lora(p) else v, params)
+    return lora, base
+
+
+def lora_merge(lora, base):
+    """Inverse of lora_partition (None leaves come from the other tree)."""
+    return jax.tree.map(lambda a, b: a if b is None else b,
+                        base, lora,
+                        is_leaf=lambda x: x is None)

@@ -32,7 +32,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from fluidnexus_tpu.core.checkpoint import load_params, save_params
 from fluidnexus_tpu.diffusion.video.conditioner import apply_ucg, make_text_encoder
 from fluidnexus_tpu.diffusion.video.dit import VideoDiTConfig
-from fluidnexus_tpu.diffusion.video.engine import VideoEngine, freeze_non_lora
+from fluidnexus_tpu.diffusion.video.engine import (
+    VideoEngine, freeze_non_lora, lora_merge, lora_partition)
 from fluidnexus_tpu.diffusion.video.vae3d import VAE3DConfig
 from fluidnexus_tpu.parallel.mesh import make_mesh, zero_shard_opt_state
 
@@ -123,19 +124,40 @@ def train(args, log=print):
                         weight_decay=t.weight_decay))
     else:
         opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(args.lr))
-    opt_state = zero_shard_opt_state(opt.init(params), mesh)
-
     enc = make_text_encoder(args.t5_dir or None, max_length=dit_cfg.text_length, hidden=txt_hidden)
     ds = ClipFolderDataset(args.data_root, args.num_frames, args.height, args.width)
     rng_np = np.random.default_rng(args.seed)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(p, s, latents, txt, rng):
-        loss, grads = jax.value_and_grad(
-            lambda q: engine.loss_fn(q, latents, txt, rng, is_i2v=True)[0])(p)
-        grads = freeze_non_lora(grads)
-        updates, s = opt.update(grads, s, p)
-        return optax.apply_updates(p, updates), s, loss
+    if args.lora_rank > 0:
+        # partitioned LoRA step: grad runs over ONLY the lora subtree, so
+        # base-param cotangents (10.4 GiB at 5B) are never materialized and
+        # the optimizer holds moments for trainables only (the reference's
+        # FusedEmaAdam over disable_untrainable_params survivors)
+        lora_p, base_p = lora_partition(params)
+        opt_state = zero_shard_opt_state(opt.init(lora_p), mesh)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def lora_step(lp, s, latents, txt, rng):
+            loss, grads = jax.value_and_grad(
+                lambda q: engine.loss_fn(lora_merge(q, base_p), latents, txt,
+                                         rng, is_i2v=True)[0])(lp)
+            updates, s = opt.update(grads, s, lp)
+            return optax.apply_updates(lp, updates), s, loss
+
+        def train_step(p, s, latents, txt, rng):
+            lp, bp = lora_partition(p)
+            lp, s, loss = lora_step(lp, s, latents, txt, rng)
+            return lora_merge(lp, bp), s, loss
+    else:
+        opt_state = zero_shard_opt_state(opt.init(params), mesh)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(p, s, latents, txt, rng):
+            loss, grads = jax.value_and_grad(
+                lambda q: engine.loss_fn(q, latents, txt, rng, is_i2v=True)[0])(p)
+            grads = freeze_non_lora(grads)
+            updates, s = opt.update(grads, s, p)
+            return optax.apply_updates(p, updates), s, loss
 
     if getattr(args, "encode_chunk", 0) > 0:
         # chunked_encode manages its own per-chunk jits + donated caches; an

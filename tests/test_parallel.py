@@ -157,3 +157,33 @@ def test_camera_dp_render_grads_on_mesh():
                    for v, p in zip(views, projs))
     np.testing.assert_allclose(np.asarray(g_dp), np.asarray(g_serial),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_lora_partitioned_grads_match_frozen_full():
+    """Partitioned LoRA training (grad over ONLY the lora subtree) must give
+    the same LoRA gradients as the full-tree grad + freeze_non_lora path
+    (which at 5B would materialize 10.4 GiB of dead base cotangents)."""
+    from fluidnexus_tpu.diffusion.video.engine import lora_merge, lora_partition
+
+    eng = VideoEngine(TINY, fixed_frames=1)
+    params = _unfreeze_gates(eng.init_params(jax.random.PRNGKey(0)))
+    lat = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 4, 8, 8))
+    txt = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 32))
+    key = jax.random.PRNGKey(3)
+
+    lora, base = lora_partition(params)
+    assert jax.tree.all(jax.tree.map(
+        lambda a, b: bool(jnp.array_equal(a, b)), lora_merge(lora, base), params))
+    assert all("lora" in str(p)
+               for p, _ in jax.tree_util.tree_leaves_with_path(lora))
+
+    g_full = freeze_non_lora(jax.grad(
+        lambda p: eng.loss_fn(p, lat, txt, key)[0])(params))
+    g_lora = jax.grad(
+        lambda lp: eng.loss_fn(lora_merge(lp, base), lat, txt, key)[0])(lora)
+    full_map = {str(p): v for p, v in jax.tree_util.tree_leaves_with_path(g_full)
+                if "lora" in str(p)}
+    part_map = {str(p): v for p, v in jax.tree_util.tree_leaves_with_path(g_lora)}
+    assert set(full_map) == set(part_map) and part_map
+    for k in full_map:
+        np.testing.assert_array_equal(np.asarray(full_map[k]), np.asarray(part_map[k]))
