@@ -60,6 +60,11 @@ class VideoDiTConfig:
     # with checkpoint_activations: True, cogvideox_5b_lora_prefixi2v.yaml:41);
     # at 5B/17776-token shapes activations otherwise exceed HBM
     remat: bool = True
+    # blocks per remat scope: 1 = classic per-block checkpointing; g > 1
+    # stores only every g-th block boundary (ceil(L/g) x seq x hidden) and
+    # recomputes g blocks per group in the backward — the sqrt-style
+    # memory/compute trade for single-chip finetunes
+    remat_group: int = 1
 
     @property
     def head_dim(self):
@@ -203,11 +208,17 @@ def _joint_attention(q, k, v):
             # (sp is always a 512 multiple here) run 16x fewer iterations
             # with full-depth contractions.
             bs = 512 if sp % 512 == 0 else 128
+            # backward blocks at 128 (the library default): the dkv/dq
+            # passes stage f32[b,h,s,block] workspaces — 1.64 GiB per layer
+            # at the 5B shape with 512-wide blocks, 0.42 GiB at 128; the
+            # fwd-path 2%-MXU pathology does NOT apply to the bwd sweeps
+            # (they contract over the 512-long q/k blocks either way)
+            bb = 128
             blocks = BlockSizes(
                 block_q=bs, block_k_major=bs, block_k=bs, block_b=1,
-                block_q_major_dkv=bs, block_k_major_dkv=bs, block_k_dkv=bs,
-                block_q_dkv=bs, block_k_major_dq=bs, block_k_dq=bs,
-                block_q_dq=bs)
+                block_q_major_dkv=bb, block_k_major_dkv=bb, block_k_dkv=bb,
+                block_q_dkv=bb, block_k_major_dq=bb, block_k_dq=bb,
+                block_q_dq=bb)
             if pad:
                 qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
                 kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
@@ -337,9 +348,30 @@ class VideoDiT(nn.Module):
         rope_cos = rope_cos.astype(c.dtype)[: x.shape[1] - c.text_length]
         rope_sin = rope_sin.astype(c.dtype)[: x.shape[1] - c.text_length]
 
-        block_cls = nn.remat(DiTBlock) if c.remat else DiTBlock
-        for i in range(c.num_layers):
-            x = block_cls(c, name=f"block_{i}")(x, temb, rope_cos, rope_sin)
+        if c.remat and c.remat_group > 1:
+            # grouped activation checkpointing: one remat scope per GROUP of
+            # blocks, so the backward stores ceil(L/g) boundary activations
+            # instead of L (42 x 109 MB at the 5B joint sequence) at the cost
+            # of recomputing g blocks per group. Param paths stay block_{i}
+            # (checkpoint-port parity) because children are created on self.
+            # NESTED checkpointing: the outer scope stores only group
+            # boundaries; the inner per-block remat keeps the group's
+            # backward from materializing every block's internals at once
+            # (the f32 qk-LN/MLP residuals of 6 blocks are ~5 GiB at the 5B
+            # shape — nested, only one block's internals live at a time)
+            g = c.remat_group
+            for lo in range(0, c.num_layers, g):
+                def run_group(mdl, xg, tg, cosg, sing, _lo=lo):
+                    for i in range(_lo, min(_lo + g, c.num_layers)):
+                        xg = nn.remat(DiTBlock)(c, name=f"block_{i}", parent=mdl)(
+                            xg, tg, cosg, sing)
+                    return xg
+
+                x = nn.remat(run_group)(self, x, temb, rope_cos, rope_sin)
+        else:
+            block_cls = nn.remat(DiTBlock) if c.remat else DiTBlock
+            for i in range(c.num_layers):
+                x = block_cls(c, name=f"block_{i}")(x, temb, rope_cos, rope_sin)
 
         # SAT base transformer's final_layernorm after the last layer, then
         # the FinalLayerMixin norm_final + modulate (:364-400)

@@ -133,20 +133,23 @@ def train(args, log=print):
         # base-param cotangents (10.4 GiB at 5B) are never materialized and
         # the optimizer holds moments for trainables only (the reference's
         # FusedEmaAdam over disable_untrainable_params survivors)
-        lora_p, base_p = lora_partition(params)
-        opt_state = zero_shard_opt_state(opt.init(lora_p), mesh)
+        lora_p0, _ = lora_partition(params)
+        opt_state = zero_shard_opt_state(opt.init(lora_p0), mesh)
 
+        # base params are an ARGUMENT, not a closure: closed-over trees get
+        # baked into the graph as constants, which XLA stages into a second
+        # on-device copy (10.4 GiB at 5B)
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def lora_step(lp, s, latents, txt, rng):
+        def lora_step(lp, s, bp, latents, txt, rng):
             loss, grads = jax.value_and_grad(
-                lambda q: engine.loss_fn(lora_merge(q, base_p), latents, txt,
+                lambda q: engine.loss_fn(lora_merge(q, bp), latents, txt,
                                          rng, is_i2v=True)[0])(lp)
             updates, s = opt.update(grads, s, lp)
             return optax.apply_updates(lp, updates), s, loss
 
         def train_step(p, s, latents, txt, rng):
             lp, bp = lora_partition(p)
-            lp, s, loss = lora_step(lp, s, latents, txt, rng)
+            lp, s, loss = lora_step(lp, s, bp, latents, txt, rng)
             return lora_merge(lp, bp), s, loss
     else:
         opt_state = zero_shard_opt_state(opt.init(params), mesh)

@@ -44,8 +44,33 @@ def test_flash_kernel_taken_at_5b_shape():
     assert "flash_attention" in hlo or "custom-call" in hlo.lower()
 
 
+
+
+@requires_tpu
+def test_flash_grads_match_reference():
+    """Backward pass of the padded+segment-id flash path (512 fwd / 256 bwd
+    blocks) must match the reference attention's gradients."""
+    rng = np.random.default_rng(1)
+    s = 777  # pads to 1024; unaligned => segment-id masking in fwd AND bwd
+    q, k, v = (jnp.asarray(rng.normal(size=(1, 2, s, 64)), jnp.float32) for _ in range(3))
+    w = jnp.asarray(rng.normal(size=(1, s, 2, 64)), jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(_joint_attention(q, k, v) * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_ref_attention(q, k, v) * w)
+
+    g_f = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))(q, k, v)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g_f, g_r):
+        scale = max(float(jnp.abs(b).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3 * scale, err_msg=name)
+
 if __name__ == "__main__":
     test_flash_matches_reference_unaligned(777)
     test_flash_matches_reference_unaligned(2274)
     test_flash_kernel_taken_at_5b_shape()
+    test_flash_grads_match_reference()
     print("flash attention tests OK")
