@@ -301,6 +301,51 @@ def convert_simulation_to_cogvideox(exp_path: str, render_sub_dir: str = "traini
 # ----------------------------------- CLI -------------------------------------
 
 
+def smooth_visual_attrs(ckpt_dir: str, window: int = 5,
+                        names: Sequence[str] = ("color", "scales",
+                                                "rotation", "opacity")) -> int:
+    """Write `frame_XXX_visual_{name}_smoothed_ws{window}.npy` temporal
+    moving averages over the per-frame visual attributes.
+
+    The reference READS these files (`load_visual_smoothed`,
+    gm_dynamics.py:2095, gated by use_smoothed_* flags
+    arguments/__init__.py:408-413) but nothing in its tree WRITES them —
+    users hand-rolled the smoothing. Centered window clamped at the sequence
+    edges; visual particles are only ever APPENDED across frames, so a shared
+    row index is a stable identity and rows beyond a neighbor frame's count
+    simply average over fewer frames. Quaternions are sign-aligned to the
+    center frame before averaging. Returns the number of frames written."""
+    frames = sorted(
+        int(f[len("frame_"):len("frame_") + 3])
+        for f in os.listdir(ckpt_dir)
+        if f.startswith("frame_") and f.endswith("_visual_xyz.npy"))
+    half = window // 2
+    for fi in frames:
+        pre = os.path.join(ckpt_dir, f"frame_{fi:03d}_")
+        for name in names:
+            center = np.load(pre + f"visual_{name}.npy").astype(np.float64)
+            acc = np.zeros_like(center)
+            cnt = np.zeros((len(center),) + (1,) * (center.ndim - 1))
+            for fj in range(fi - half, fi + half + 1):
+                if fj not in frames:
+                    continue
+                pj = os.path.join(ckpt_dir, f"frame_{fj:03d}_visual_{name}.npy")
+                a = np.load(pj).astype(np.float64)
+                m = min(len(a), len(center))
+                a = a[:m]
+                if name == "rotation":  # q and -q are the same rotation
+                    sign = np.sign(np.sum(a * center[:m], axis=-1, keepdims=True))
+                    a = a * np.where(sign == 0, 1.0, sign)
+                acc[:m] += a
+                cnt[:m] += 1
+            out = (acc / np.maximum(cnt, 1)).astype(np.float32)
+            if name == "rotation":
+                norm = np.linalg.norm(out, axis=-1, keepdims=True)
+                out = out / np.maximum(norm, 1e-12)
+            np.save(pre + f"visual_{name}_smoothed_ws{window}.npy", out)
+    return len(frames)
+
+
 def _read_sequences(capture_root: str) -> List[str]:
     """Sequence list from capture_set.csv (first column, header skipped)."""
     path = os.path.join(capture_root, "capture_set.csv")
@@ -357,6 +402,10 @@ def main(argv: Optional[List[str]] = None):
     p.add_argument("--identifier", default="0000")
     p.add_argument("--unshift", action="store_true")
 
+    p = sub.add_parser("smooth_visual")
+    p.add_argument("--ckpt_dir", required=True)
+    p.add_argument("--window", type=int, default=5)
+
     a = ap.parse_args(argv)
     if a.cmd == "scalar_flow_preprocess":
         scalar_flow_preprocess(a.sim_input_path)
@@ -380,6 +429,9 @@ def main(argv: Optional[List[str]] = None):
     elif a.cmd == "simulation_to_cogvideox":
         convert_simulation_to_cogvideox(a.exp_path, a.render_sub_dir, a.out_sub_dir,
                                         a.identifier, unshift=a.unshift)
+    elif a.cmd == "smooth_visual":
+        n = smooth_visual_attrs(a.ckpt_dir, a.window)
+        print(f"smoothed {n} frames (ws{a.window})")
 
 
 if __name__ == "__main__":

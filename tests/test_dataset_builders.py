@@ -153,3 +153,47 @@ def test_prepare_generative_image_letterbox():
     assert out.shape == (20, 40, 3)
     assert out[:, :10].sum() == 0 and out[:, -10:].sum() == 0  # side bars
     assert (out[:, 10:30] > 0).all()
+
+
+def test_smooth_visual_attrs_roundtrip(tmp_path):
+    """smooth_visual_attrs writes the *_smoothed_ws{w}.npy files that
+    load_visual (gm_dynamics load_visual_smoothed:2095) reads — the
+    reference consumes these but ships no producer. Moving average over the
+    centered window; growing particle counts average over shared indices;
+    quaternions sign-align to the center frame."""
+    import numpy as np
+
+    from fluidnexus_tpu.data.dataset_builders import smooth_visual_attrs
+    from fluidnexus_tpu.splat.dynamics import load_visual
+
+    d = str(tmp_path)
+    counts = [3, 3, 4, 4]
+    rng = np.random.default_rng(0)
+    for i, n in enumerate(counts):
+        pre = f"{d}/frame_{i:03d}_"
+        np.save(pre + "visual_xyz.npy", rng.normal(size=(n, 3)).astype(np.float32))
+        np.save(pre + "visual_color.npy", np.full((n, 1), float(i), np.float32))
+        np.save(pre + "visual_scales.npy", np.ones((n, 3), np.float32) * (i + 1))
+        rot = np.tile(np.array([1.0, 0, 0, 0], np.float32), (n, 1))
+        if i == 1:
+            rot = -rot  # opposite-sign quats: same rotation, must align
+        np.save(pre + "visual_rotation.npy", rot)
+        np.save(pre + "visual_opacity.npy", np.ones((n, 1), np.float32))
+
+    n_frames = smooth_visual_attrs(d, window=3)
+    assert n_frames == 4
+
+    # frame 1 color smoothed over frames 0..2 on shared rows: (0+1+2)/3 = 1
+    sm = np.load(f"{d}/frame_001_visual_color_smoothed_ws3.npy")
+    np.testing.assert_allclose(sm[:3], 1.0)
+    # frame 2: row 3 exists only in frames 2,3 -> mean(2,3)=2.5
+    sm2 = np.load(f"{d}/frame_002_visual_color_smoothed_ws3.npy")
+    np.testing.assert_allclose(sm2[3], 2.5)
+    # rotation sign alignment: averaging q and -q must not cancel
+    smr = np.load(f"{d}/frame_001_visual_rotation_smoothed_ws3.npy")
+    np.testing.assert_allclose(np.abs(smr[:, 0]), 1.0, atol=1e-6)
+
+    # the loader picks up the smoothed files when the flags ask for them
+    vis, attrs = load_visual(d, 1, capacity=8, channels=1, smoothed_window=3,
+                             use_smoothed={"color": True}, scale=False)
+    np.testing.assert_allclose(np.asarray(attrs.color[:3, 0]), 1.0)
