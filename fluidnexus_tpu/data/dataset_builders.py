@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -314,11 +315,14 @@ def smooth_visual_attrs(ckpt_dir: str, window: int = 5,
     edges; visual particles are only ever APPENDED across frames, so a shared
     row index is a stable identity and rows beyond a neighbor frame's count
     simply average over fewer frames. Quaternions are sign-aligned to the
-    center frame before averaging. Returns the number of frames written."""
+    center frame before averaging. `window` must be odd (centered window);
+    returns the number of frames written."""
+    if window % 2 == 0:
+        raise ValueError(f"smooth_visual_attrs needs an odd centered window, got {window}")
+    frame_re = re.compile(r"frame_(\d+)_visual_xyz\.npy$")
     frames = sorted(
-        int(f[len("frame_"):len("frame_") + 3])
-        for f in os.listdir(ckpt_dir)
-        if f.startswith("frame_") and f.endswith("_visual_xyz.npy"))
+        int(m.group(1)) for f in os.listdir(ckpt_dir)
+        if (m := frame_re.match(f)) is not None)
     half = window // 2
     for fi in frames:
         pre = os.path.join(ckpt_dir, f"frame_{fi:03d}_")

@@ -89,9 +89,16 @@ class VanillaCFG:
         return x_uncond + self.scale * (x_cond - x_uncond)
 
 
-def _denoise_cfg(denoiser, guider, x, alpha_sqrt, t_idx, cond, uc, step_index):
+def _denoise_cfg(denoiser, guider, x, alpha_sqrt, t_idx, cond, uc, step_index,
+                 sequential=False):
     if uc is None:
         return denoiser(x, alpha_sqrt, t_idx, cond)
+    if sequential:
+        # two passes at half the peak activation memory — for memory-tight
+        # single-chip configs where the batch-2 joint forward doesn't fit
+        dc = denoiser(x, alpha_sqrt, t_idx, cond)
+        du = denoiser(x, alpha_sqrt, t_idx, uc)
+        return guider(du, dc, step_index)
     # ONE batch-2 forward for cond+uncond instead of two sequential passes
     # (the reference runs them separately, gen_refine_pi2v_long offload
     # path): halves kernel launches and doubles the matmul batch — identical
@@ -104,14 +111,15 @@ def _denoise_cfg(denoiser, guider, x, alpha_sqrt, t_idx, cond, uc, step_index):
 
 
 def sample_ddim(denoiser, x, cond, uc=None, num_steps=50, guider=None, rng=None,
-                num_timesteps=1000):
+                num_timesteps=1000, cfg_sequential=False):
     """VideoDDIMSampler.__call__ (:556-585): deterministic DDIM in
     alpha-sqrt space: x' = a_t x + b_t denoised."""
     alpha_sqrt, t_ids = zero_snr_alphas_sqrt(num_steps, num_timesteps)
     guider = guider or DynamicCFG(num_steps=num_steps)
     for i in range(num_steps):
         a, a_next = alpha_sqrt[i], alpha_sqrt[i + 1]
-        denoised = _denoise_cfg(denoiser, guider, x, a, t_ids[i], cond, uc, num_steps - i)
+        denoised = _denoise_cfg(denoiser, guider, x, a, t_ids[i], cond, uc,
+                                num_steps - i, sequential=cfg_sequential)
         a_t = math.sqrt((1 - a_next**2) / max(1 - a**2, 1e-12))
         b_t = a_next - a * a_t
         x = a_t * x + b_t * denoised
@@ -132,6 +140,7 @@ def sample_dpmpp2m_sde(
     prefix_clean_frames=None,
     fixed_frames: int = 0,
     sdedit_prefix: bool = False,
+    cfg_sequential: bool = False,
 ):
     """VPSDEDPMPP2MSampler.__call__ (sampling.py:660-740).
 
@@ -175,7 +184,8 @@ def sample_dpmpp2m_sde(
         if prefix_clean_frames is not None:
             x = jnp.concatenate([prefix_clean_frames, x[:, cur_fix:]], 1)
 
-        denoised = _denoise_cfg(denoiser, guider, x, a, t_ids[i], cond, uc, num_steps - i)
+        denoised = _denoise_cfg(denoiser, guider, x, a, t_ids[i], cond, uc,
+                                num_steps - i, sequential=cfg_sequential)
         idx = num_steps - i
         if idx == 1:
             x, old_denoised = denoised, denoised

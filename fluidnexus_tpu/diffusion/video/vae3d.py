@@ -343,6 +343,49 @@ class VideoVAE(nn.Module):
         return self.decode(z), z
 
 
+@functools.lru_cache(maxsize=None)
+def _decode_appliers(vae: "VideoVAE"):
+    """Jitted per-chunk decode appliers, cached per VAE module (a hashable
+    frozen dataclass) so repeated chunked_decode calls — one per refine
+    window, one per spatial tile — reuse the compiled executables instead
+    of re-tracing the multi-GiB graphs every call."""
+
+    @jax.jit
+    def run_first(p, zc):
+        out, mut = vae.apply({"params": p}, zc, first_chunk=True,
+                             method=vae.decode, mutable=["cache"])
+        return out, mut["cache"]
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def run_next(p, cache, zc):
+        out, mut = vae.apply({"params": p, "cache": cache}, zc, first_chunk=False,
+                             method=vae.decode, mutable=["cache"])
+        return out, mut["cache"]
+
+    return run_first, run_next
+
+
+@functools.lru_cache(maxsize=None)
+def _encode_appliers(vae: "VideoVAE"):
+    """Jitted per-chunk encode appliers, cached per VAE module (see
+    _decode_appliers)."""
+
+    @functools.partial(jax.jit, static_argnames=("samp",))
+    def run_first(p, xc, k, samp):
+        out, mut = vae.apply({"params": p}, xc, k, first_chunk=True, sample=samp,
+                             method=vae.encode, mutable=["cache"])
+        return out, mut["cache"]
+
+    @functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("samp",))
+    def run_next(p, cache, xc, k, samp):
+        out, mut = vae.apply({"params": p, "cache": cache}, xc, k,
+                             first_chunk=False, sample=samp,
+                             method=vae.encode, mutable=["cache"])
+        return out, mut["cache"]
+
+    return run_first, run_next
+
+
 def chunked_decode(vae: VideoVAE, params, z, chunk: int = 2,
                    first_latents: Optional[int] = None):
     """Serial chunked decode with the conv cache carried across chunks — the
@@ -371,18 +414,7 @@ def chunked_decode(vae: VideoVAE, params, z, chunk: int = 2,
         bounds.append((start, min(end, t)))
         start = end
 
-    @jax.jit
-    def run_first(p, zc):
-        out, mut = vae.apply({"params": p}, zc, first_chunk=True,
-                             method=vae.decode, mutable=["cache"])
-        return out, mut["cache"]
-
-    @functools.partial(jax.jit, donate_argnums=(1,))
-    def run_next(p, cache, zc):
-        out, mut = vae.apply({"params": p, "cache": cache}, zc, first_chunk=False,
-                             method=vae.decode, mutable=["cache"])
-        return out, mut["cache"]
-
+    run_first, run_next = _decode_appliers(vae)
     outs = []
     cache = None
     for i, (s, e) in enumerate(bounds):
@@ -418,19 +450,7 @@ def chunked_encode(vae: VideoVAE, params, x, chunk: int = 2, rng=None,
         s = bounds[-1][1]
         bounds.append((s, s + chunk * ct))
 
-    @functools.partial(jax.jit, static_argnames=("samp",))
-    def run_first(p, xc, k, samp):
-        out, mut = vae.apply({"params": p}, xc, k, first_chunk=True, sample=samp,
-                             method=vae.encode, mutable=["cache"])
-        return out, mut["cache"]
-
-    @functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("samp",))
-    def run_next(p, cache, xc, k, samp):
-        out, mut = vae.apply({"params": p, "cache": cache}, xc, k,
-                             first_chunk=False, sample=samp,
-                             method=vae.encode, mutable=["cache"])
-        return out, mut["cache"]
-
+    run_first, run_next = _encode_appliers(vae)
     outs = []
     cache = None
     for i, (s, e) in enumerate(bounds):

@@ -36,12 +36,20 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+class _StageHandle:
+    __slots__ = ("block_on",)
+
+    def __init__(self, block_on=None):
+        self.block_on = block_on
+
+
 class StageTimer:
     """Accumulating wall-clock timer for named pipeline stages.
 
-    `block=True` waits for async dispatch before stopping the clock, so a
-    stage's time covers the device work it launched (otherwise jax returns
-    futures and the next stage pays the bill).
+    Pass the stage's output arrays as `block_on` to wait for async dispatch
+    before stopping the clock, so the stage's time covers the device work it
+    launched — otherwise jax returns futures and the device time is billed to
+    whichever later stage first blocks (e.g. a log line's float(loss)).
     """
 
     def __init__(self):
@@ -50,14 +58,18 @@ class StageTimer:
 
     @contextlib.contextmanager
     def stage(self, name: str, block_on=None):
+        """Yields a holder: set `holder.block_on = <stage outputs>` inside the
+        block (or pass block_on= up front for values that already exist) and
+        the timer waits for them before stopping the clock."""
+        holder = _StageHandle(block_on)
         t0 = time.perf_counter()
         try:
-            yield
+            yield holder
         finally:
-            if block_on is not None:
+            if holder.block_on is not None:
                 import jax
 
-                jax.block_until_ready(block_on)
+                jax.block_until_ready(holder.block_on)
             dt = time.perf_counter() - t0
             self.totals[name] = self.totals.get(name, 0.0) + dt
             self.counts[name] = self.counts.get(name, 0) + 1
