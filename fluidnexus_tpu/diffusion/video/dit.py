@@ -65,6 +65,14 @@ class VideoDiTConfig:
     # recomputes g blocks per group in the backward — the sqrt-style
     # memory/compute trade for single-chip finetunes
     remat_group: int = 1
+    # QLoRA-style int8 base weights: the frozen block matmul kernels
+    # (qkv/out/fc1/fc2 + the adaLN projection) are stored as int8 with a
+    # per-output-column f32 scale and dequantized in the matmul epilogue
+    # (y = (x @ q) * scale — exact for per-column scales). Halves-again the
+    # 11.1 GiB bf16 base tree to ~5.6 GiB, which is what fits the full 5B
+    # LoRA train step on ONE 16 GiB v5e chip. Convert float checkpoints with
+    # quantize_dit_params().
+    base_quant: bool = False
 
     @property
     def head_dim(self):
@@ -126,8 +134,17 @@ def apply_rope(x, cos, sin):
     return x * cos[None, None] + rotate_half_interleaved(x) * sin[None, None]
 
 
+def _int8_zeros(key, shape, dtype=jnp.int8):
+    return jnp.zeros(shape, jnp.int8)
+
+
 class LoRADense(nn.Module):
-    """Dense with optional LoRA adapter and logical sharding annotations."""
+    """Dense with optional LoRA adapter and logical sharding annotations.
+
+    quant=True stores the FROZEN base kernel as int8 with a per-output-column
+    f32 scale (QLoRA-style): y = (x @ q) * scale is exact for per-column
+    scales, so the dequant rides the matmul epilogue and no f32/bf16 copy of
+    the kernel is ever materialized. LoRA adapters stay f32 trainables."""
 
     features: int
     rank: int = 0
@@ -135,13 +152,21 @@ class LoRADense(nn.Module):
     kernel_axes: Tuple[str, str] = ("embed", "mlp")
     dtype: jnp.dtype = jnp.bfloat16
     lora_alpha: float = 1.0
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
         in_f = x.shape[-1]
-        kernel = self.param("kernel", P(nn.initializers.lecun_normal(), self.kernel_axes),
-                            (in_f, self.features), jnp.float32)
-        y = x @ kernel.astype(self.dtype)
+        if self.quant:
+            kq = self.param("kernel_q", P(_int8_zeros, self.kernel_axes),
+                            (in_f, self.features), jnp.int8)
+            ks = self.param("kernel_scale", P(nn.initializers.ones, (self.kernel_axes[-1],)),
+                            (self.features,), jnp.float32)
+            y = (x @ kq.astype(self.dtype)) * ks.astype(self.dtype)
+        else:
+            kernel = self.param("kernel", P(nn.initializers.lecun_normal(), self.kernel_axes),
+                                (in_f, self.features), jnp.float32)
+            y = x @ kernel.astype(self.dtype)
         if self.use_bias:
             bias = self.param("bias", P(nn.initializers.zeros, (self.kernel_axes[-1],)),
                               (self.features,), jnp.float32)
@@ -246,7 +271,7 @@ class JointAttention(nn.Module):
         c = self.cfg
         b, s, _ = x.shape
         qkv = LoRADense(3 * c.hidden_size, rank=c.lora_rank, kernel_axes=("embed", "heads"),
-                        dtype=c.dtype, name="qkv")(x)
+                        dtype=c.dtype, quant=c.base_quant, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
@@ -271,7 +296,7 @@ class JointAttention(nn.Module):
         attn = _joint_attention(q, k, v)  # (b,s,h,d)
         out = attn.reshape(b, s, c.hidden_size)
         return LoRADense(c.hidden_size, rank=c.lora_rank, kernel_axes=("heads", "embed"),
-                         dtype=c.dtype, name="out")(out)
+                         dtype=c.dtype, quant=c.base_quant, name="out")(out)
 
 
 class MLP(nn.Module):
@@ -281,10 +306,12 @@ class MLP(nn.Module):
     def __call__(self, x):
         c = self.cfg
         h = LoRADense(c.mlp_ratio * c.hidden_size, rank=c.lora_rank,
-                      kernel_axes=("embed", "mlp"), dtype=c.dtype, name="fc1")(x)
+                      kernel_axes=("embed", "mlp"), dtype=c.dtype,
+                      quant=c.base_quant, name="fc1")(x)
         h = jax.nn.gelu(h, approximate=True)
         return LoRADense(c.hidden_size, rank=c.lora_rank,
-                         kernel_axes=("mlp", "embed"), dtype=c.dtype, name="fc2")(h)
+                         kernel_axes=("mlp", "embed"), dtype=c.dtype,
+                         quant=c.base_quant, name="fc2")(h)
 
 
 class DiTBlock(nn.Module):
@@ -294,8 +321,15 @@ class DiTBlock(nn.Module):
     def __call__(self, x, emb, rope_cos, rope_sin):
         c = self.cfg
         tl = c.text_length
-        mod = nn.Dense(12 * c.hidden_size, name="adaLN",
-                       kernel_init=nn.initializers.zeros, dtype=jnp.float32)(nn.silu(emb))
+        if c.base_quant:
+            # int8 adaLN projection (0.79B params across the 42 layers —
+            # 3.2 GiB at f32, 0.8 GiB quantized); f32 compute like nn.Dense
+            mod = LoRADense(12 * c.hidden_size, rank=0, quant=True,
+                            kernel_axes=("embed", "mlp"), dtype=jnp.float32,
+                            name="adaLN")(nn.silu(emb))
+        else:
+            mod = nn.Dense(12 * c.hidden_size, name="adaLN",
+                           kernel_init=nn.initializers.zeros, dtype=jnp.float32)(nn.silu(emb))
         (s_msa, sc_msa, g_msa, s_mlp, sc_mlp, g_mlp,
          ts_msa, tsc_msa, tg_msa, ts_mlp, tsc_mlp, tg_mlp) = jnp.split(mod.astype(c.dtype), 12, -1)
 
@@ -388,6 +422,37 @@ class VideoDiT(nn.Module):
         out = xi.reshape(b, t, hp, wp, p, p, c.out_channels)
         out = out.transpose(0, 1, 6, 2, 4, 3, 5).reshape(b, t, c.out_channels, hh, ww)
         return out.astype(jnp.float32)
+
+
+def quantize_dit_params(params, modules=("qkv", "out", "fc1", "fc2", "adaLN")):
+    """Float DiT param tree -> the base_quant=True layout: every block matmul
+    kernel becomes int8 ``kernel_q`` + per-output-column f32 ``kernel_scale``
+    (symmetric absmax, q = round(w/scale) clamped to +-127). Bias / LN /
+    LoRA / embedding leaves pass through unchanged. Returns a PLAIN (unboxed)
+    tree — re-place with engine.shard_for_generation / param_shardings for TP.
+    """
+    def unbox(x):
+        return x.unbox() if isinstance(x, nn.meta.AxisMetadata) else x
+
+    def quant_mod(d):
+        w = jnp.asarray(unbox(d["kernel"]), jnp.float32)
+        scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-8) / 127.0
+        q = jnp.clip(jnp.round(w / scale[None, :]), -127, 127).astype(jnp.int8)
+        out = {k: walk(v) for k, v in d.items() if k != "kernel"}
+        out["kernel_q"] = q
+        out["kernel_scale"] = scale
+        return out
+
+    def walk(tree):
+        if isinstance(tree, nn.meta.AxisMetadata):
+            return tree.unbox()
+        if not isinstance(tree, (dict,)) and not hasattr(tree, "items"):
+            return tree
+        return {k: (quant_mod(v) if k in modules and hasattr(v, "items")
+                    and "kernel" in v else walk(v))
+                for k, v in tree.items()}
+
+    return walk(params)
 
 
 def lora_param_filter(path: Tuple[str, ...]) -> bool:

@@ -49,6 +49,39 @@ class VideoEngine:
         ladder, t_ids = zero_snr_alphas_sqrt(self.num_timesteps, self.num_timesteps)
         self.alpha_sqrt_ladder = jnp.asarray(ladder[:-1])  # drop the appended 1.0
         self.ladder_t_ids = jnp.asarray(t_ids[:-1])
+        self._jit_dit_apply = None
+
+    def dit_apply(self, params, x, t, cond):
+        """One jitted DiT forward, shared by every sampler step: the samplers
+        are python loops, so without this each of the 50 steps dispatches the
+        42-layer graph op-by-op. Params are an argument (not a closure), so
+        TP-sharded params drive GSPMD sharding of the whole forward."""
+        if self._jit_dit_apply is None:
+            self._jit_dit_apply = jax.jit(
+                lambda p, xx, tt, cc: self.dit.apply({"params": p}, xx, tt, cc))
+        return self._jit_dit_apply(params, x, t, cond)
+
+    def shard_for_generation(self, params, vae_params, mesh):
+        """Place params for a TP/DP-meshed generation run: DiT params follow
+        their flax logical axes ('heads'/'mlp' -> 'model' — the TPU answer to
+        the reference's CPU<->GPU 5B offload ping-pong,
+        gen_refine_pi2v_long.py:203-239), VAE params replicate. Loaded (plain)
+        trees get their specs from an eval_shape of init_params."""
+        from jax.sharding import NamedSharding, PartitionSpec
+        import flax.linen as nn
+
+        from fluidnexus_tpu.parallel.mesh import param_shardings
+
+        has_meta = any(isinstance(x, nn.meta.AxisMetadata)
+                       for x in jax.tree.leaves(
+                           params, is_leaf=lambda x: isinstance(x, nn.meta.AxisMetadata)))
+        ref = params if has_meta else jax.eval_shape(
+            lambda: self.init_params(jax.random.PRNGKey(0)))
+        shardings = param_shardings(ref, mesh)
+        params = jax.device_put(params, shardings)
+        if vae_params is not None:
+            vae_params = jax.device_put(vae_params, NamedSharding(mesh, PartitionSpec()))
+        return params, vae_params
 
     # --------------------------------- init ---------------------------------
 
@@ -134,7 +167,7 @@ class VideoEngine:
         """(SATVideoDiffusionEngine.sample, diffusion_video.py:242-289)"""
         rng, k0 = jax.random.split(rng)
         x = jax.random.normal(k0, shape)
-        denoiser = VDenoiser(lambda xx, t, c: self.dit.apply({"params": params}, xx, t, c))
+        denoiser = VDenoiser(lambda xx, t, c: self.dit_apply(params, xx, t, c))
         guider = DynamicCFG(scale=cfg_scale or self.cfg_scale, exp=self.cfg_exp,
                             num_steps=num_steps)
         return sample_dpmpp2m_sde(
