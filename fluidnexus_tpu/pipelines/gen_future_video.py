@@ -84,13 +84,16 @@ def main(argv=None):
     ap.add_argument("--num_steps", type=int, default=50)
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=720)
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel shards for the DiT forward")
+    ap.add_argument("--dp", type=int, default=1)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--pack_video", action="store_true",
                     help="also pack the refined frames into a video file")
     ap.add_argument("--fps", type=int, default=8)
     args = ap.parse_args(argv)
 
-    from fluidnexus_tpu.core.checkpoint import load_params
+    from fluidnexus_tpu.core.checkpoint import load_params, load_params_prefer_ema
     from fluidnexus_tpu.diffusion.video.dit import VideoDiTConfig
     from fluidnexus_tpu.diffusion.video.vae3d import VAE3DConfig
 
@@ -109,9 +112,14 @@ def main(argv=None):
         txt_hidden = dit_cfg.text_hidden_size
 
     engine = VideoEngine(dit_cfg, vae_cfg)
-    params = load_params(args.dit_ckpt) if args.dit_ckpt else engine.init_params(jax.random.PRNGKey(0))
+    params = load_params_prefer_ema(args.dit_ckpt) if args.dit_ckpt else engine.init_params(jax.random.PRNGKey(0))
     vae_params = load_params(args.vae_ckpt) if args.vae_ckpt else engine.init_vae_params(
         jax.random.PRNGKey(1), frames=5, height=args.height, width=args.width)
+    if args.tp * args.dp > 1:
+        from fluidnexus_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.dp * args.tp, dp=args.dp, tp=args.tp)
+        params, vae_params = engine.shard_for_generation(params, vae_params, mesh)
     enc = make_text_encoder(args.t5_dir or None, max_length=dit_cfg.text_length, hidden=txt_hidden)
     text_emb = enc([args.prompt])
 

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fluidnexus_tpu.core.checkpoint import load_params
+from fluidnexus_tpu.core.checkpoint import load_params, load_params_prefer_ema
 from fluidnexus_tpu.diffusion.video.conditioner import make_text_encoder
 from fluidnexus_tpu.diffusion.video.dit import VideoDiTConfig
 from fluidnexus_tpu.diffusion.video.engine import VideoEngine
@@ -37,6 +37,11 @@ def main(argv=None):
     ap.add_argument("--vae_ckpt", default="")
     ap.add_argument("--t5_dir", default="")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel shards for the DiT forward (the TPU "
+                         "replacement for the reference's CPU<->GPU offload)")
+    ap.add_argument("--dp", type=int, default=1,
+                    help="data-parallel shards (the batch-2 CFG forward)")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--pack_video", action="store_true",
                     help="also pack frames into a video file (mp4 or MJPEG avi)")
@@ -81,9 +86,14 @@ def main(argv=None):
         txt_hidden = dit_cfg.text_hidden_size
 
     engine = VideoEngine(dit_cfg, vae_cfg, cfg_scale=args.cfg_scale)
-    params = load_params(args.dit_ckpt) if args.dit_ckpt else engine.init_params(jax.random.PRNGKey(0))
+    params = load_params_prefer_ema(args.dit_ckpt) if args.dit_ckpt else engine.init_params(jax.random.PRNGKey(0))
     vae_params = load_params(args.vae_ckpt) if args.vae_ckpt else engine.init_vae_params(
         jax.random.PRNGKey(1), frames=5, height=args.height, width=args.width)
+    if args.tp * args.dp > 1:
+        from fluidnexus_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.dp * args.tp, dp=args.dp, tp=args.tp)
+        params, vae_params = engine.shard_for_generation(params, vae_params, mesh)
     enc = make_text_encoder(args.t5_dir or None, max_length=dit_cfg.text_length, hidden=txt_hidden)
     text_emb = enc([args.prompt])
     uc = jnp.zeros_like(text_emb)
