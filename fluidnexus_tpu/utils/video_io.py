@@ -1,14 +1,16 @@
-"""Dependency-free video file I/O.
+"""Video file I/O without an ffmpeg-on-PATH requirement.
 
 The reference packs frame folders into mp4s with imageio-ffmpeg / decord
-(CogVideoX/data_video.py, DataProcessing/*/create_cogvideox_dataset.py) —
-neither ships here. This module provides:
+(CogVideoX/data_video.py, DataProcessing/*/create_cogvideox_dataset.py).
+This module provides:
 
-  - ``write_video``: mp4 via imageio-ffmpeg when importable, else a pure-
-    Python MJPEG-in-AVI writer (every frame a PIL-encoded JPEG inside a
-    standard RIFF AVI container — playable by ffmpeg/VLC/browsers).
-  - ``read_video``: the matching reader (AVI-MJPEG natively, mp4 via
-    imageio when importable).
+  - ``write_video``: real mp4 via OpenCV's built-in encoder (no external
+    ffmpeg binary), imageio-ffmpeg when importable, else a pure-Python
+    MJPEG-in-AVI writer (every frame a PIL-encoded JPEG inside a standard
+    RIFF AVI container — playable by ffmpeg/VLC/browsers).
+  - ``read_video`` / ``read_video_with_fps``: the matching readers (OpenCV
+    first — it decodes mp4 AND MJPEG-AVI natively — then the pure-Python
+    AVI parser, then imageio).
 
 Frames are (T,H,W,3) uint8 or float in [0,1].
 """
@@ -116,30 +118,82 @@ def read_avi_mjpeg(path: str) -> np.ndarray:
     return np.stack(frames)
 
 
+def _cv2_write_mp4(path: str, arr: np.ndarray, fps: int) -> Optional[str]:
+    try:
+        import cv2
+    except Exception:
+        return None
+    t, h, w = arr.shape[:3]
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    out = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    if not out.isOpened():
+        return None
+    for i in range(t):
+        out.write(cv2.cvtColor(arr[i], cv2.COLOR_RGB2BGR))
+    out.release()
+    return path if os.path.exists(path) and os.path.getsize(path) > 0 else None
+
+
+def _cv2_read(path: str):
+    """(frames u8 RGB, fps) via OpenCV, or None if it can't open the file."""
+    try:
+        import cv2
+    except Exception:
+        return None
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        return None
+    fps = float(cap.get(cv2.CAP_PROP_FPS) or 0.0)
+    frames: List[np.ndarray] = []
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        frames.append(cv2.cvtColor(f, cv2.COLOR_BGR2RGB))
+    cap.release()
+    if not frames:
+        return None
+    return np.stack(frames), fps
+
+
 def write_video(path: str, frames, fps: int = 8, quality: int = 95) -> str:
-    """Write frames to ``path``. Prefers mp4 (imageio-ffmpeg) when the path
-    asks for it and the codec exists; otherwise writes MJPEG AVI (the
-    extension is switched to .avi). Returns the actual path written."""
+    """Write frames to ``path``. mp4 via OpenCV's built-in encoder (then
+    imageio-ffmpeg); MJPEG AVI as the last resort (the extension is switched
+    to .avi). Returns the actual path written."""
+    arr = _to_uint8(frames)
     if path.endswith(".mp4"):
+        out = _cv2_write_mp4(path, arr, fps)
+        if out:
+            return out
         try:
             import imageio.v2 as imageio  # noqa: F401 — needs the ffmpeg plugin
 
-            imageio.mimwrite(path, list(_to_uint8(frames)), fps=fps,
-                             quality=8, macro_block_size=1)
+            imageio.mimwrite(path, list(arr), fps=fps, quality=8, macro_block_size=1)
             return path
         except Exception:
             path = path[:-4] + ".avi"
     if not path.endswith(".avi"):
         path = path + ".avi"
-    return write_avi_mjpeg(path, frames, fps=fps, quality=quality)
+    return write_avi_mjpeg(path, arr, fps=fps, quality=quality)
+
+
+def read_video_with_fps(path: str):
+    """(frames (T,H,W,3) u8, fps) — fps is 0.0 when the container lacks it."""
+    got = _cv2_read(path)
+    if got is not None:
+        return got
+    if path.endswith(".avi"):
+        return read_avi_mjpeg(path), 0.0
+    import imageio.v2 as imageio
+
+    reader = imageio.get_reader(path)
+    fps = float(reader.get_meta_data().get("fps", 0.0) or 0.0)
+    frames = np.stack([np.asarray(f) for f in reader])
+    return frames, fps
 
 
 def read_video(path: str) -> np.ndarray:
-    if path.endswith(".avi"):
-        return read_avi_mjpeg(path)
-    import imageio.v2 as imageio
-
-    return np.stack([np.asarray(f) for f in imageio.mimread(path, memtest=False)])
+    return read_video_with_fps(path)[0]
 
 
 def frames_folder_to_video(folder: str, out_path: Optional[str] = None,

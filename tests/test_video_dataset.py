@@ -1,0 +1,116 @@
+"""mp4 data-path parity with the reference SFTDataset (data_video.py:368-494):
+real video files are built on disk (OpenCV mp4 or MJPEG-AVI fallback), loaded
+through SFTVideoDataset, and checked for frame count / fps resampling /
+4k+1 snap / padding / crop / normalization behavior.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from fluidnexus_tpu.data.video_dataset import (
+    ClipFolderDataset, SFTVideoDataset, make_video_dataset,
+    nearest_smaller_4k_plus_1, pad_last_frame, resize_for_rectangle_crop,
+    select_clip_frames)
+from fluidnexus_tpu.utils.video_io import read_video_with_fps, write_video
+
+
+def _make_clip(path, n=20, h=48, w=64, fps=8):
+    """Frame index baked into the red channel so selections are checkable."""
+    frames = np.zeros((n, h, w, 3), np.uint8)
+    for i in range(n):
+        frames[i, :, :, 0] = min(i * 10, 255)
+    return write_video(str(path), frames, fps=fps, quality=98)
+
+
+def test_4k_plus_1_snap():
+    # data_video.py:461-466
+    assert nearest_smaller_4k_plus_1(8) == 5
+    assert nearest_smaller_4k_plus_1(9) == 9
+    assert nearest_smaller_4k_plus_1(10) == 9
+    assert nearest_smaller_4k_plus_1(49) == 49
+    assert nearest_smaller_4k_plus_1(50) == 49
+
+
+def test_select_clip_frames_branches():
+    # short clip: snap down to 4k+1
+    idx, num = select_clip_frames(ori_vlen=11, actual_fps=8, fps=8, max_num_frames=49)
+    assert num == 9 and list(idx) == list(range(9))
+    # long duration: fps resample (24fps clip, want 8fps x 9 frames)
+    idx, num = select_clip_frames(ori_vlen=240, actual_fps=24, fps=8, max_num_frames=9)
+    assert num == 9
+    assert len(idx) >= 9 and idx[1] - idx[0] == (int(9 / 8 * 24)) // 9
+    # many frames but SHORT duration (high-fps clip): uniform stride branch
+    # (data_video.py:451-459)
+    idx, num = select_clip_frames(ori_vlen=20, actual_fps=100, fps=8, max_num_frames=10)
+    assert num == 10 and idx[1] - idx[0] == 2
+
+
+def test_pad_last_frame():
+    x = np.arange(3)[:, None, None, None] * np.ones((3, 2, 2, 3))
+    p = pad_last_frame(x, 5)
+    assert p.shape[0] == 5 and (p[3] == p[2]).all() and (p[4] == p[2]).all()
+    assert pad_last_frame(x, 2).shape[0] == 2
+
+
+def test_resize_rectangle_crop_cover():
+    # 100x50 -> (48, 64): width-limited, resize to (~96,64)? no — cover:
+    # w/h=0.5 < 64/48=1.33 -> resize to (h*64/50? ...) just check output shape
+    # and that the crop is centered (symmetric borders survive)
+    f = np.zeros((2, 100, 50, 3), np.uint8)
+    f[:, :, 24:26] = 255  # vertical center stripe
+    out = resize_for_rectangle_crop(f, 48, 64, "center")
+    assert out.shape == (2, 48, 64, 3)
+    mid = out[0, 24].astype(int)
+    assert mid[:, 0].argmax() in range(24, 40)  # stripe stays centered
+
+
+def test_sft_video_dataset_loads_real_file(tmp_path):
+    os.makedirs(tmp_path / "videos")
+    os.makedirs(tmp_path / "labels")
+    written = _make_clip(tmp_path / "videos" / "clip0.mp4", n=20, fps=8)
+    base = os.path.splitext(os.path.basename(written))[0]
+    (tmp_path / "labels" / (base + ".txt")).write_text("a smoke plume\nsecond line")
+
+    frames, fps = read_video_with_fps(written)
+    assert frames.shape[0] == 20
+
+    ds = SFTVideoDataset(str(tmp_path), num_frames=9, height=32, width=48, fps=8)
+    assert len(ds) == 1
+    rng = np.random.default_rng(0)
+    batch, captions = ds.sample_batch(2, rng)
+    # 20 raw frames @8fps vs 9 wanted @8fps -> uniform-stride branch, padded
+    # to max_num_frames (pad_last_frame), center-cropped, normalized
+    assert batch.shape == (2, 9, 32, 48, 3)
+    assert captions == ["a smoke plume"] * 2
+    assert batch.min() >= -1.0 and batch.max() <= 1.0
+    # normalization is (x-127.5)/127.5: frame 0 red channel was 0 -> -1
+    assert batch[0, 0, :, :, 2].mean() == pytest.approx(-1.0, abs=0.08)
+    # monotone red ramp survives the selection (frames stay ordered)
+    red = batch[0, :, :, :, 0].mean(axis=(1, 2))
+    assert (np.diff(red) >= -0.02).all() and red[-1] > red[0]
+
+
+def test_sft_dataset_4k1_snap_and_pad(tmp_path):
+    os.makedirs(tmp_path / "videos")
+    _make_clip(tmp_path / "videos" / "short.mp4", n=7, fps=8)
+    ds = SFTVideoDataset(str(tmp_path), num_frames=49, height=16, width=16, fps=8)
+    clip = ds.load_clip(ds.clips[0])
+    # 7 raw -> snap to 5 (4k+1), then pad_last_frame to 49
+    assert clip.shape == (49, 16, 16, 3)
+    assert np.allclose(clip[5], clip[4]) and np.allclose(clip[48], clip[4])
+
+
+def test_make_video_dataset_picks_by_content(tmp_path):
+    os.makedirs(tmp_path / "videos")
+    _make_clip(tmp_path / "videos" / "c.mp4", n=9)
+    assert isinstance(make_video_dataset(str(tmp_path), 9, 16, 16), SFTVideoDataset)
+
+    root2 = tmp_path / "folders"
+    os.makedirs(root2 / "videos" / "clip0")
+    from PIL import Image
+
+    for i in range(5):
+        Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+            root2 / "videos" / "clip0" / f"frame_{i:06d}.png")
+    assert isinstance(make_video_dataset(str(root2), 5, 8, 8), ClipFolderDataset)
