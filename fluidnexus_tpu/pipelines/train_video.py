@@ -10,8 +10,10 @@ sharded over 'data', the DiT's matmuls shardable over 'model', optimizer
 state ZeRO-sharded along 'data' (mesh.zero_shard_opt_state). The reference's
 mp-group batch/noise broadcasts are unnecessary under SPMD.
 
-Dataset: directories of frame folders (clip_*/frame_%06d.png + caption.txt);
-mp4 decode (decord in the reference) is gated behind imageio-ffmpeg.
+Dataset: real mp4s + caption txts load via data/video_dataset.SFTVideoDataset
+(OpenCV decode — no external ffmpeg; fps resample to 49@8fps + 4k+1 snap,
+data_video.py:368-494 parity); frame-folder layouts still work
+(ClipFolderDataset). make_video_dataset() picks by directory content.
 """
 from __future__ import annotations
 
@@ -38,46 +40,19 @@ from fluidnexus_tpu.diffusion.video.vae3d import VAE3DConfig
 from fluidnexus_tpu.parallel.mesh import make_mesh, zero_shard_opt_state
 
 
-class ClipFolderDataset:
-    """clips/<name>/frame_%06d.png (+ labels/<name>.txt caption) — the frame
-    layout DataProcessing/fluid_nexus_real/create_cogvideox_dataset.py emits
-    before mp4 packing."""
+# datasets live in data/video_dataset.py; re-exported for back-compat
+from fluidnexus_tpu.data.video_dataset import (  # noqa: E402,F401
+    ClipFolderDataset, SFTVideoDataset, make_video_dataset)
 
-    def __init__(self, root: str, num_frames: int = 49, height: int = 480, width: int = 720):
-        self.root = root
-        self.num_frames = num_frames
-        self.height, self.width = height, width
-        vids = os.path.join(root, "videos")
-        self.clips = sorted(
-            d for d in os.listdir(vids) if os.path.isdir(os.path.join(vids, d))
-        ) if os.path.isdir(vids) else []
-        assert self.clips, f"no clip folders under {root}/videos"
 
-    def caption(self, clip: str) -> str:
-        p = os.path.join(self.root, "labels", clip + ".txt")
-        return open(p).read().strip() if os.path.exists(p) else ""
-
-    def load_clip(self, clip: str, rng: np.random.Generator):
-        from PIL import Image
-
-        folder = os.path.join(self.root, "videos", clip)
-        frames = sorted(f for f in os.listdir(folder) if f.endswith(".png"))
-        # snap to 4k+1 frames (data_video.py:461-471)
-        n = min(len(frames), self.num_frames)
-        n = (n - 1) // 4 * 4 + 1
-        start = rng.integers(0, max(len(frames) - n, 0) + 1)
-        out = []
-        for f in frames[start:start + n]:
-            img = Image.open(os.path.join(folder, f)).convert("RGB").resize(
-                (self.width, self.height), Image.LANCZOS)
-            out.append(np.asarray(img, np.float32))
-        return (np.stack(out) - 127.5) / 127.5
-
-    def sample_batch(self, batch: int, rng: np.random.Generator):
-        names = [self.clips[rng.integers(len(self.clips))] for _ in range(batch)]
-        frames = np.stack([self.load_clip(n, rng) for n in names])
-        captions = [self.caption(n) for n in names]
-        return frames, captions
+def _has_float_block_kernels(params) -> bool:
+    """True when a block matmul still holds a float `kernel` (i.e. the tree
+    predates quantize_dit_params)."""
+    for path, _ in jax.tree_util.tree_leaves_with_path(params):
+        names = [str(getattr(p, "key", p)) for p in path]
+        if "kernel" in names and any(n.startswith("block_") for n in names):
+            return True
+    return False
 
 
 def train(args, log=print):
@@ -110,8 +85,15 @@ def train(args, log=print):
         vae_cfg = VAE3DConfig()
         txt_hidden = dit_cfg.text_hidden_size
 
+    if args.quant_base:
+        dit_cfg = dataclasses.replace(dit_cfg, base_quant=True)
     engine = VideoEngine(dit_cfg, vae_cfg, fixed_frames=args.fixed_frames)
     params = load_params(args.dit_ckpt) if args.dit_ckpt else engine.init_params(jax.random.PRNGKey(0))
+    if args.quant_base and _has_float_block_kernels(params):
+        # a float checkpoint was loaded into the int8 config: convert it
+        from fluidnexus_tpu.diffusion.video.dit import quantize_dit_params
+
+        params = quantize_dit_params(params)
     vae_params = load_params(args.vae_ckpt) if args.vae_ckpt else engine.init_vae_params(
         jax.random.PRNGKey(1), frames=5, height=args.height, width=args.width)
     params = jax.device_put(params, NamedSharding(mesh, P()))
@@ -125,8 +107,18 @@ def train(args, log=print):
     else:
         opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(args.lr))
     enc = make_text_encoder(args.t5_dir or None, max_length=dit_cfg.text_length, hidden=txt_hidden)
-    ds = ClipFolderDataset(args.data_root, args.num_frames, args.height, args.width)
+    ds = make_video_dataset(args.data_root, args.num_frames, args.height, args.width)
     rng_np = np.random.default_rng(args.seed)
+
+    # EMA shadow of the TRAINABLE subtree (FusedEmaAdam parity — the
+    # reference optimizer keeps an EMA of the LoRA weights and its shipped
+    # checkpoints sample from it; sft_pi2v_*.yaml optimizer block). decay=0
+    # disables; ema_update is a no-op then and the shadow stays None.
+    decay = args.ema_decay
+
+    def ema_update(ema, new):
+        return jax.tree_util.tree_map(
+            lambda e, p: e * decay + (1.0 - decay) * p, ema, new)
 
     if args.lora_rank > 0:
         # partitioned LoRA step: grad runs over ONLY the lora subtree, so
@@ -135,32 +127,47 @@ def train(args, log=print):
         # FusedEmaAdam over disable_untrainable_params survivors)
         lora_p0, _ = lora_partition(params)
         opt_state = zero_shard_opt_state(opt.init(lora_p0), mesh)
+        ema_params = jax.tree_util.tree_map(jnp.copy, lora_p0) if decay > 0 else None
 
         # base params are an ARGUMENT, not a closure: closed-over trees get
         # baked into the graph as constants, which XLA stages into a second
         # on-device copy (10.4 GiB at 5B)
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def lora_step(lp, s, bp, latents, txt, rng):
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def lora_step(lp, s, ema, bp, latents, txt, rng):
             loss, grads = jax.value_and_grad(
                 lambda q: engine.loss_fn(lora_merge(q, bp), latents, txt,
                                          rng, is_i2v=True)[0])(lp)
             updates, s = opt.update(grads, s, lp)
-            return optax.apply_updates(lp, updates), s, loss
+            lp = optax.apply_updates(lp, updates)
+            if ema is not None:
+                ema = ema_update(ema, lp)
+            return lp, s, ema, loss
 
-        def train_step(p, s, latents, txt, rng):
+        def train_step(p, s, ema, latents, txt, rng):
             lp, bp = lora_partition(p)
-            lp, s, loss = lora_step(lp, s, bp, latents, txt, rng)
-            return lora_merge(lp, bp), s, loss
+            lp, s, ema, loss = lora_step(lp, s, ema, bp, latents, txt, rng)
+            return lora_merge(lp, bp), s, ema, loss
+
+        def ema_full_tree(p, ema):
+            _, bp = lora_partition(p)
+            return lora_merge(ema, bp)
     else:
         opt_state = zero_shard_opt_state(opt.init(params), mesh)
+        ema_params = jax.tree_util.tree_map(jnp.copy, params) if decay > 0 else None
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(p, s, latents, txt, rng):
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def train_step(p, s, ema, latents, txt, rng):
             loss, grads = jax.value_and_grad(
                 lambda q: engine.loss_fn(q, latents, txt, rng, is_i2v=True)[0])(p)
             grads = freeze_non_lora(grads)
             updates, s = opt.update(grads, s, p)
-            return optax.apply_updates(p, updates), s, loss
+            p = optax.apply_updates(p, updates)
+            if ema is not None:
+                ema = ema_update(ema, p)
+            return p, s, ema, loss
+
+        def ema_full_tree(p, ema):
+            return ema
 
     if getattr(args, "encode_chunk", 0) > 0:
         # chunked_encode manages its own per-chunk jits + donated caches; an
@@ -180,19 +187,27 @@ def train(args, log=print):
             with timer.stage("data"):
                 frames, captions = ds.sample_batch(args.batch, rng_np)
             rng, k_enc, k_ucg, k_loss = jax.random.split(rng, 4)
-            with timer.stage("vae_encode"), annotate("vae_encode"):
+            with timer.stage("vae_encode") as st, annotate("vae_encode"):
                 z = encode(vae_params, jnp.asarray(frames), k_enc)   # (B,T',H',W',C)
+                st.block_on = z
             latents = jax.device_put(jnp.transpose(z, (0, 1, 4, 2, 3)), data_sh)
             txt = apply_ucg(enc(captions), k_ucg, args.ucg_rate)
             txt = jax.device_put(txt, data_sh)
-            with timer.stage("train_step", block_on=None), annotate("train_step"):
-                params, opt_state, loss = train_step(params, opt_state, latents, txt, k_loss)
+            with timer.stage("train_step") as st, annotate("train_step"):
+                params, opt_state, ema_params, loss = train_step(
+                    params, opt_state, ema_params, latents, txt, k_loss)
+                st.block_on = loss
             if it % args.log_every == 0:
                 log(f"iter {it}/{args.iterations} loss {float(loss):.5f} "
                     f"({it / (time.time() - t0):.2f} it/s) [{timer.report()}]")
             if args.save_dir and it % args.save_every == 0:
                 save_params(os.path.join(args.save_dir, f"iter_{it:07d}"), jax.device_get(params))
-    return params, float(loss)
+                if ema_params is not None:
+                    # the tree the gen CLIs prefer (load_params_prefer_ema)
+                    save_params(os.path.join(args.save_dir, f"iter_{it:07d}_ema"),
+                                jax.device_get(ema_full_tree(params, ema_params)))
+    final_ema = ema_full_tree(params, ema_params) if ema_params is not None else None
+    return params, float(loss), final_ema
 
 
 def build_argparser():
@@ -209,6 +224,14 @@ def build_argparser():
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--lora_rank", type=int, default=128)
+    ap.add_argument("--quant_base", action="store_true",
+                    help="int8 (QLoRA-style) frozen base weights — the "
+                         "single-16GiB-chip recipe for the 5B LoRA finetune; "
+                         "float checkpoints are converted on load")
+    ap.add_argument("--ema_decay", type=float, default=0.9999,
+                    help="EMA decay of the trainable weights (sat.ops.FusedEmaAdam "
+                         "default; the reference's shipped checkpoints sample "
+                         "from the EMA tree). 0 disables.")
     ap.add_argument("--fixed_frames", type=int, default=3)
     ap.add_argument("--ucg_rate", type=float, default=0.1)
     ap.add_argument("--num_frames", type=int, default=49)
