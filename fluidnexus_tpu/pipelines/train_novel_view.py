@@ -29,11 +29,33 @@ from fluidnexus_tpu.diffusion.ldm.model import NovelViewModel, get_pose_delta
 from fluidnexus_tpu.parallel.mesh import make_mesh
 
 
+def lambda_linear_schedule(base_lr: float, warm_up_steps: int = 100,
+                           f_start: float = 1e-6, f_max: float = 1.0,
+                           f_min: float = 1.0, cycle_length: float = 1e13):
+    """Optax-compatible LambdaLinearScheduler (Zero123/ldm/lr_scheduler.py:82-100
+    with the fluid_nexus_smoke.yaml scheduler_config values): linear warmup
+    f_start -> f_max over warm_up_steps, then a linear glide toward f_min over
+    cycle_length (effectively constant at the reference's huge cycle)."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = (f_max - f_start) / max(warm_up_steps, 1) * step + f_start
+        tail = f_min + (f_max - f_min) * (cycle_length - step) / cycle_length
+        return base_lr * jnp.where(step < warm_up_steps, warm, tail)
+
+    return schedule
+
+
 class ViewPairDataset:
     """frame_%03d/{cam:02d}.png + camera/{cam:02d}.npy (the layout emitted by
-    DataProcessing/fluid_nexus_real/create_zero123_dataset.py)."""
+    DataProcessing/fluid_nexus_real/create_zero123_dataset.py).
 
-    def __init__(self, root: str, image_size: int = 256):
+    cond_view/target_view: when BOTH are valid camera ids the pair is fixed
+    (ldm/data/fluid_nexus.py:213-218); otherwise random without replacement
+    (the FluidNexus finetune default)."""
+
+    def __init__(self, root: str, image_size: int = 256,
+                 cond_view: int = -1, target_view: int = -1):
         self.root = root
         self.image_size = image_size
         self.frames = sorted(d for d in os.listdir(root) if d.startswith("frame_"))
@@ -41,6 +63,9 @@ class ViewPairDataset:
         self.cams = {int(f[:2]): np.load(os.path.join(cam_dir, f))
                      for f in os.listdir(cam_dir) if f.endswith(".npy")}
         self.cam_ids = sorted(self.cams)
+        self.fixed_pair = None
+        if cond_view in self.cams and target_view in self.cams:
+            self.fixed_pair = (target_view, cond_view)
 
     def _img(self, frame: str, cam: int):
         from PIL import Image
@@ -53,7 +78,10 @@ class ViewPairDataset:
         tgt, cond, dt = [], [], []
         for _ in range(batch):
             frame = self.frames[rng.integers(len(self.frames))]
-            a, b = rng.choice(self.cam_ids, 2, replace=False)
+            if self.fixed_pair is not None:
+                a, b = self.fixed_pair
+            else:
+                a, b = rng.choice(self.cam_ids, 2, replace=False)
             tgt.append(self._img(frame, a))
             cond.append(self._img(frame, b))
             dt.append(get_pose_delta(self.cams[a], self.cams[b]))
@@ -83,20 +111,24 @@ def train(args, log=print):
         jax.random.PRNGKey(0), image_size=args.image_size)
     params = jax.device_put(params, NamedSharding(mesh, P()))
 
-    # per-group LR: cc_projection at 10x (ddpm.py:1628-1635); vae+clip frozen
+    # per-group LR: cc_projection at 10x (ddpm.py:1628-1635); vae+clip frozen;
+    # LambdaLinearScheduler warmup (configs/*.yaml scheduler_config)
     base_lr = args.lr * args.batch if args.scale_lr else args.lr
+    lr_fn = lambda_linear_schedule(base_lr, warm_up_steps=args.warmup_steps)
+    cc_lr_fn = lambda_linear_schedule(10 * base_lr, warm_up_steps=args.warmup_steps)
 
     def label_fn(params):
         return {"unet": "train", "cc": "cc", "vae": "frozen", "clip": "frozen"}
 
     opt = optax.multi_transform(
-        {"train": optax.adamw(base_lr), "cc": optax.adamw(10 * base_lr),
+        {"train": optax.adamw(lr_fn), "cc": optax.adamw(cc_lr_fn),
          "frozen": optax.set_to_zero()},
         label_fn,
     )
     opt_state = opt.init(params)
 
-    ds = ViewPairDataset(args.data_dir, args.image_size)
+    ds = ViewPairDataset(args.data_dir, args.image_size,
+                         cond_view=args.cond_view, target_view=args.target_view)
     rng_np = np.random.default_rng(args.seed)
     data_sh = NamedSharding(mesh, P("data"))
 
@@ -145,7 +177,7 @@ def train(args, log=print):
                 log(f"iter {it}/{args.iterations} loss {float(loss):.5f} "
                     f"({ips:.2f} it/s){mem_s}")
                 tb.scalar("train/loss", float(loss), it)
-                tb.scalar("train/lr_abs", base_lr, it)
+                tb.scalar("train/lr_abs", float(lr_fn(it)), it)
                 tb.scalar("perf/iters_per_sec", ips, it)
                 tb.scalars("perf", mem, it)
             if tb.enabled and args.sample_every and (it == 1 or it % args.sample_every == 0):
@@ -176,6 +208,11 @@ def build_argparser():
     ap.add_argument("--batch", type=int, default=96)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--scale_lr", action="store_true")
+    ap.add_argument("--warmup_steps", type=int, default=100,
+                    help="LambdaLinearScheduler warm_up_steps (yaml scheduler_config)")
+    ap.add_argument("--cond_view", type=int, default=-1,
+                    help="fix the conditioning camera (with --target_view); -1 = random pairs")
+    ap.add_argument("--target_view", type=int, default=-1)
     ap.add_argument("--image_size", type=int, default=256)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log_every", type=int, default=50)

@@ -103,3 +103,55 @@ def test_train_novel_view_logs_sample_grids(tmp_path):
     events = [f for f in os.listdir(out) if "tfevents" in f]
     assert events, "no TB event file"
     assert os.path.getsize(out / events[0]) > 2000  # grids, not just scalars
+
+
+def test_lambda_linear_schedule_curve():
+    """LambdaLinearScheduler parity (Zero123/ldm/lr_scheduler.py:82-100 with
+    the fluid_nexus_smoke.yaml values): linear 1e-6 -> 1 over warm_up_steps,
+    then constant at f_max=f_min=1."""
+    import numpy as np
+
+    from fluidnexus_tpu.pipelines.train_novel_view import lambda_linear_schedule
+
+    base = 1e-4
+    sched = lambda_linear_schedule(base, warm_up_steps=100)
+    assert np.isclose(float(sched(0)), base * 1e-6)
+    # reference formula at n=50: (1 - 1e-6)/100*50 + 1e-6
+    assert np.isclose(float(sched(50)), base * ((1 - 1e-6) / 100 * 50 + 1e-6), rtol=1e-6)
+    assert np.isclose(float(sched(100)), base, rtol=1e-6)
+    assert np.isclose(float(sched(5000)), base, rtol=1e-4)
+    # monotone through warmup
+    xs = [float(sched(i)) for i in range(0, 101, 10)]
+    assert all(a < b for a, b in zip(xs, xs[1:]))
+
+
+def test_view_pair_dataset_fixed_cond_view(tmp_path):
+    """cond_view/target_view pin the pair (ldm/data/fluid_nexus.py:213-218)."""
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from fluidnexus_tpu.pipelines.train_novel_view import ViewPairDataset
+
+    rng = np.random.default_rng(0)
+    os.makedirs(tmp_path / "camera")
+    for f in range(2):
+        os.makedirs(tmp_path / f"frame_{f:03d}")
+    for c in range(3):
+        w2c = np.eye(4)[:3]
+        w2c[:, 3] = [0, 0, 2 + c]
+        np.save(tmp_path / "camera" / f"{c:02d}.npy", w2c)
+        for f in range(2):
+            # camera id baked into the red channel so we can identify picks
+            img = np.full((8, 8, 3), c * 40, np.uint8)
+            Image.fromarray(img).save(tmp_path / f"frame_{f:03d}" / f"{c:02d}.png")
+
+    ds = ViewPairDataset(str(tmp_path), image_size=8, cond_view=1, target_view=2)
+    tgt, cond, dt = ds.sample_batch(4, rng)
+    assert np.allclose(tgt, 80 / 255.0) and np.allclose(cond, 40 / 255.0)
+    # default: random pairs, never equal
+    ds2 = ViewPairDataset(str(tmp_path), image_size=8)
+    assert ds2.fixed_pair is None
+    t2, c2, _ = ds2.sample_batch(8, rng)
+    assert not np.allclose(t2, c2)
