@@ -53,8 +53,15 @@ def frechet_distance(feats_a: np.ndarray, feats_b: np.ndarray) -> float:
 
 
 def frechet_video_distance(videos_a, videos_b,
-                           feature_fn: Optional[Callable] = None) -> float:
-    """FVD-style distance between two sets of clips (N,T,H,W,C in [0,1])."""
+                           feature_fn: Optional[Callable] = None,
+                           i3d_ckpt: Optional[str] = None) -> float:
+    """FVD-style distance between two sets of clips (N,T,H,W,C in [0,1]).
+
+    Pass ``i3d_ckpt`` (path to a pytorch-i3d checkpoint) or
+    ``feature_fn=i3d_feature_fn(...)`` for real I3D-feature FVD; the default
+    pixel features are a weight-free stand-in (see module docstring)."""
+    if i3d_ckpt and feature_fn is None:
+        feature_fn = i3d_feature_fn(ckpt_path=i3d_ckpt)
     fn = feature_fn or pixel_feature_fn
     return frechet_distance(np.asarray(fn(videos_a)), np.asarray(fn(videos_b)))
 
@@ -69,13 +76,18 @@ def perceptual_similarity(img_a, img_b, feature_fn: Optional[Callable] = None) -
     return float(np.sqrt(((fa - fb) ** 2).sum()))
 
 
-def i3d_feature_fn(i3d_params, batch: int = 8) -> Callable:
+def i3d_feature_fn(i3d_params=None, batch: int = 8,
+                   ckpt_path: Optional[str] = None) -> Callable:
     """Kinetics-I3D logits as FVD features — the reference detector
-    (torch_frechet_video_distance.py:60-100). Load real weights via
-    utils.i3d.load_params for numbers comparable to published FVD; see
-    utils/i3d.py for the zero-egress weight story."""
+    (torch_frechet_video_distance.py:60-100). Pass a loaded param dict OR
+    ``ckpt_path`` (pytorch-i3d .pt state dict / converted .npz —
+    utils.i3d.load_params) for numbers comparable to published FVD; with
+    neither, a deterministic random I3D (regression tracking only)."""
+    from fluidnexus_tpu.utils import i3d as i3d_mod
     from fluidnexus_tpu.utils.i3d import i3d_logits
 
+    if i3d_params is None:
+        i3d_params = i3d_mod.load_params(ckpt_path) if ckpt_path else i3d_mod.random_params(0)
     fwd = jax.jit(lambda v: i3d_logits(i3d_params, v))
 
     def fn(videos):

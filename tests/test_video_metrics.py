@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from fluidnexus_tpu.utils.video_metrics import frechet_distance, frechet_video_distance
 
@@ -30,6 +31,7 @@ def test_fvd_on_clips():
     assert diff > same
 
 
+@pytest.mark.slow
 def test_i3d_fvd_self_distance_zero_and_golden():
     """Real-FVD machinery (utils/i3d.py InceptionI3d): FVD(x, x) == 0 and a
     fixed-seed golden value on synthetic clips (VERDICT r1 item 7)."""
@@ -74,3 +76,104 @@ def test_i3d_checkpoint_roundtrip(tmp_path):
     assert set(q) == set(p)
     np.testing.assert_array_equal(q["Mixed_4d.b1b.conv3d.weight"],
                                   p["Mixed_4d.b1b.conv3d.weight"])
+
+
+@pytest.mark.slow
+def test_i3d_port_matches_torch_oracle():
+    """I3D port equivalence: the JAX forward vs a torch oracle implementing
+    the same pytorch-i3d graph (TF-SAME padding, BN inference transform,
+    (2,7,7) VALID average pool + 1x1x1 logits conv + temporal mean) with the
+    SAME random weights."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from fluidnexus_tpu.utils import i3d
+
+    params = i3d.random_params(0)
+
+    def same_pad(x, k, s):
+        # TF-SAME for NCDHW; F.pad wants (Wl,Wr,Hl,Hr,Dl,Dr)
+        flat = []
+        for dim, ks, st in zip(reversed(x.shape[2:]), reversed(k), reversed(s)):
+            out = -(-dim // st)
+            total = max((out - 1) * st + ks - dim, 0)
+            flat += [total // 2, total - total // 2]
+        return F.pad(x, flat)
+
+    def unit(prefix, x, stride=(1, 1, 1), relu=True):
+        w = torch.as_tensor(params[f"{prefix}.conv3d.weight"])
+        x = F.conv3d(same_pad(x, w.shape[2:], stride), w, stride=stride)
+        if f"{prefix}.bn.running_mean" in params:
+            m = torch.as_tensor(params[f"{prefix}.bn.running_mean"]).view(1, -1, 1, 1, 1)
+            v = torch.as_tensor(params[f"{prefix}.bn.running_var"]).view(1, -1, 1, 1, 1)
+            g = torch.as_tensor(params[f"{prefix}.bn.weight"]).view(1, -1, 1, 1, 1)
+            b = torch.as_tensor(params[f"{prefix}.bn.bias"]).view(1, -1, 1, 1, 1)
+            x = (x - m) / torch.sqrt(v + 1e-3) * g + b
+        elif f"{prefix}.conv3d.bias" in params:
+            x = x + torch.as_tensor(params[f"{prefix}.conv3d.bias"]).view(1, -1, 1, 1, 1)
+        return F.relu(x) if relu else x
+
+    def max_pool(x, k, s):
+        return F.max_pool3d(same_pad(x, k, s), k, s)
+
+    def mixed(name, x):
+        b0 = unit(f"{name}.b0", x)
+        b1 = unit(f"{name}.b1b", unit(f"{name}.b1a", x))
+        b2 = unit(f"{name}.b2b", unit(f"{name}.b2a", x))
+        b3 = unit(f"{name}.b3b", max_pool(x, (3, 3, 3), (1, 1, 1)))
+        return torch.cat([b0, b1, b2, b3], dim=1)
+
+    def torch_logits(videos):
+        x = torch.as_tensor(np.asarray(videos), dtype=torch.float32)
+        n, t, h, w, c = x.shape
+        x = x.permute(0, 4, 1, 2, 3)  # NCDHW
+        if (h, w) != (224, 224):
+            x = F.interpolate(x, size=(t, 224, 224), mode="trilinear", align_corners=False)
+        x = x * 2 - 1
+        x = unit("Conv3d_1a_7x7", x, (2, 2, 2))
+        x = max_pool(x, (1, 3, 3), (1, 2, 2))
+        x = unit("Conv3d_2b_1x1", x)
+        x = unit("Conv3d_2c_3x3", x)
+        x = max_pool(x, (1, 3, 3), (1, 2, 2))
+        x = mixed("Mixed_3b", x)
+        x = mixed("Mixed_3c", x)
+        x = max_pool(x, (3, 3, 3), (2, 2, 2))
+        for nm in ("Mixed_4b", "Mixed_4c", "Mixed_4d", "Mixed_4e", "Mixed_4f"):
+            x = mixed(nm, x)
+        x = max_pool(x, (2, 2, 2), (2, 2, 2))
+        x = mixed("Mixed_5b", x)
+        x = mixed("Mixed_5c", x)
+        x = F.avg_pool3d(x, (2, 7, 7), stride=1)
+        x = unit("logits", x, relu=False)
+        return x.mean(dim=(2, 3, 4)).numpy()
+
+    rng = np.random.default_rng(5)
+    # feed 224x224 directly: torch trilinear vs jax bilinear-per-frame resize
+    # differ; the network equivalence is what's under test
+    videos = rng.uniform(0, 1, (1, 16, 224, 224, 3)).astype(np.float32)
+    ours = np.asarray(i3d.i3d_logits(params, videos))
+    with torch.no_grad():
+        ref = torch_logits(videos)
+    assert ours.shape == ref.shape == (1, 400)
+    np.testing.assert_allclose(ours, ref, atol=5e-3, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_fvd_from_i3d_checkpoint_path(tmp_path):
+    """The wired path: checkpoint file -> features -> FVD number."""
+    from fluidnexus_tpu.utils import i3d
+    from fluidnexus_tpu.utils.video_metrics import frechet_video_distance
+
+    params = i3d.random_params(1)
+    ckpt = tmp_path / "i3d_rgb.npz"
+    np.savez(ckpt, **params)
+
+    rng = np.random.default_rng(0)
+    a = rng.uniform(0, 1, (3, 16, 32, 32, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.3, a.shape), 0, 1).astype(np.float32)
+    d_same = frechet_video_distance(a, a, i3d_ckpt=str(ckpt))
+    d_diff = frechet_video_distance(a, b, i3d_ckpt=str(ckpt))
+    assert d_same < 1e-6
+    assert d_diff > d_same
