@@ -54,6 +54,17 @@ def get_pose_delta(target_rt: np.ndarray, cond_rt: np.ndarray) -> np.ndarray:
     return np.array([d_theta, math.sin(d_az), math.cos(d_az), d_z], np.float32)
 
 
+def plms_eps_prime(e_t, hist, n_hist: int):
+    """Adams-Bashforth eps extrapolation of PLMS (plms.py:246-253). hist is
+    newest-first [e_{t-1}, e_{t-2}, e_{t-3}]; n_hist in {1,2,3} selects the
+    2nd/3rd/4th-order rule."""
+    if n_hist == 1:
+        return (3 * e_t - hist[0]) / 2
+    if n_hist == 2:
+        return (23 * e_t - 16 * hist[0] + 5 * hist[1]) / 12
+    return (55 * e_t - 59 * hist[0] + 37 * hist[1] - 9 * hist[2]) / 24
+
+
 @dataclasses.dataclass
 class NovelViewModel:
     unet_config: UNetConfig = dataclasses.field(default_factory=UNetConfig)
@@ -174,6 +185,70 @@ class NovelViewModel:
             return jnp.sqrt(ap) * pred_x0 + dc * eps + noise, None
 
         x, _ = jax.lax.scan(step, x0, xs)
+        img = self.vae.apply({"params": params["vae"]}, x, method=self.vae.decode)
+        return jnp.clip((img + 1) / 2, 0.0, 1.0)
+
+    def plms_sample(self, params, cond_image, pose_delta, rng, num_steps=50,
+                    cfg_scale=3.0, image_size=256):
+        """PLMSSampler.sample (ldm/models/diffusion/plms.py:218-260): the
+        eta=0 DDIM update driven by Adams-Bashforth-extrapolated eps (orders
+        2-4, improved Euler + one extra UNet call on the first step). Unused
+        by the FluidNexus configs (they sample DDIM) — provided for
+        reference API completeness. One lax.scan; the eps history rides the
+        carry, lax.switch picks the multistep order."""
+        b = cond_image.shape[0]
+        lat = image_size // self.downsample_factor
+        ctx, concat = self.conditioning(params, cond_image, pose_delta)
+        ctx2 = jnp.concatenate([ctx, jnp.zeros_like(ctx)], 0)
+        concat2 = jnp.concatenate([concat, jnp.zeros_like(concat)], 0)
+
+        times = np.linspace(0, self.num_timesteps - 1, num_steps).astype(int)[::-1].copy()
+        t_next = np.concatenate([times[1:], [times[-1]]])  # plms.py:160-164
+        ac = np.asarray(self.schedule.alphas_cumprod, np.float64)
+        a_t = ac[times]
+        a_prev = np.concatenate([ac[times[1:]], [1.0]])
+        dir_coef = np.sqrt(1 - a_prev)                     # eta = 0
+        xs = (jnp.asarray(times, jnp.int32), jnp.asarray(t_next, jnp.int32),
+              jnp.asarray(a_t, jnp.float32), jnp.asarray(a_prev, jnp.float32),
+              jnp.asarray(dir_coef, jnp.float32))
+
+        rng, k0 = jax.random.split(rng)
+        x0 = jax.random.normal(k0, (b, lat, lat, self.unet_config.out_channels))
+
+        def model_eps(x, t):
+            tv = jnp.full((2 * b,), t, jnp.int32)
+            x2 = jnp.concatenate([x, x], 0)
+            eps2 = self.unet.apply({"params": params["unet"]},
+                                   jnp.concatenate([x2, concat2], -1), tv, ctx2)
+            eps_c, eps_u = jnp.split(eps2, 2, 0)
+            return eps_u + cfg_scale * (eps_c - eps_u)
+
+        def step(carry, inp):
+            x, hist, n = carry
+            t, tn, at, ap, dc = inp
+
+            def x_prev(e):
+                pred_x0 = (x - jnp.sqrt(1 - at) * e) / jnp.sqrt(at)
+                return jnp.sqrt(ap) * pred_x0 + dc * e
+
+            e_t = model_eps(x, t)
+
+            def euler(_):
+                # first step: Pseudo Improved Euler (plms.py:242-246)
+                e_next = model_eps(x_prev(e_t), tn)
+                return (e_t + e_next) / 2
+
+            e_prime = jax.lax.switch(
+                jnp.minimum(n, 3),
+                [euler,
+                 lambda _: plms_eps_prime(e_t, hist, 1),
+                 lambda _: plms_eps_prime(e_t, hist, 2),
+                 lambda _: plms_eps_prime(e_t, hist, 3)], None)
+            hist = jnp.concatenate([e_t[None], hist[:2]], 0)
+            return (x_prev(e_prime), hist, n + 1), None
+
+        hist0 = jnp.zeros((3,) + x0.shape, x0.dtype)
+        (x, _, _), _ = jax.lax.scan(step, (x0, hist0, jnp.int32(0)), xs)
         img = self.vae.apply({"params": params["vae"]}, x, method=self.vae.decode)
         return jnp.clip((img + 1) / 2, 0.0, 1.0)
 

@@ -90,3 +90,37 @@ def test_novel_view_loss_and_sample():
     assert out.shape == (1, 32, 32, 3)
     assert np.isfinite(np.asarray(out)).all()
     assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+
+def test_plms_eps_prime_coefficients():
+    """Adams-Bashforth rules match plms.py:242-253 exactly."""
+    import numpy as np
+
+    from fluidnexus_tpu.diffusion.ldm.model import plms_eps_prime
+
+    rng = np.random.default_rng(0)
+    e, h1, h2, h3 = (rng.normal(size=(2, 3)) for _ in range(4))
+    hist = np.stack([h1, h2, h3])
+    np.testing.assert_allclose(plms_eps_prime(e, hist, 1), (3 * e - h1) / 2)
+    np.testing.assert_allclose(plms_eps_prime(e, hist, 2),
+                               (23 * e - 16 * h1 + 5 * h2) / 12)
+    np.testing.assert_allclose(plms_eps_prime(e, hist, 3),
+                               (55 * e - 59 * h1 + 37 * h2 - 9 * h3) / 24)
+
+
+def test_plms_sample_runs_tiny():
+    model = NovelViewModel(
+        unet_config=UNetConfig(in_channels=8, out_channels=4, model_channels=32,
+                               channel_mult=(1, 2), num_res_blocks=1,
+                               attention_resolutions=(2,), num_heads=4, context_dim=768),
+        vae_config=TINY_VAE,
+        clip_config=CLIPVisionConfig(image_size=28, patch_size=14, width=32, layers=1,
+                                     heads=4, output_dim=768),
+    )
+    params = model.init_params(jax.random.PRNGKey(0), image_size=32)
+    cond = jnp.ones((1, 32, 32, 3)) * 0.5
+    dt = jnp.zeros((1, 4))
+    out = model.plms_sample(params, cond, dt, jax.random.PRNGKey(1),
+                            num_steps=5, image_size=32)
+    assert out.shape == (1, 32, 32, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
