@@ -91,6 +91,22 @@ def _tri_lower(b):
     return (c < r).astype(jnp.float32)
 
 
+def _excl_prefix_prod(v):
+    """Exclusive prefix product along axis 0 (p_i = prod_{j<i} v_j) via
+    Hillis-Steele doubling: log2(B) elementwise (B,P) multiplies with static
+    sublane shifts. DEVICE-BENCHED LOSER vs the log-space exp(LT @ log(v))
+    form: 86.1/86.8 fps vs 88.7 at the bench workload — the 6 concat-shift +
+    multiply rounds at B=64 cost more VPU time than one log + one exp plus a
+    (B,B)@(B,P) MXU matmul (r3; kept for reference, not called)."""
+    b, p = v.shape
+    x = jnp.concatenate([jnp.ones((1, p), v.dtype), v[:-1]], 0)
+    d = 1
+    while d < b:
+        x = x * jnp.concatenate([jnp.ones((d, p), v.dtype), x[:-d]], 0)
+        d *= 2
+    return x
+
+
 def _alphas(power, op, live):
     """Masked effective alpha + validity (shared fwd/bwd)."""
     raw = op * jnp.exp(power)                     # op (K,1) broadcasts
@@ -100,7 +116,8 @@ def _alphas(power, op, live):
 
 
 def _fwd_kernel(tiles_x, tile_x, tile_y, channels, block, tpb,
-                cnt_ref, pk_ref, live_ref, accum_ref, ft_ref, med_ref, car_ref):
+                cnt_ref, pk_ref, live_ref, accum_ref, ft_ref, med_ref,
+                car_ref=None):
     for tl in range(tpb):
         _fwd_one(tiles_x, tile_x, tile_y, channels, block, tl,
                  cnt_ref, pk_ref, live_ref, accum_ref, ft_ref, med_ref, car_ref)
@@ -108,6 +125,9 @@ def _fwd_kernel(tiles_x, tile_x, tile_y, channels, block, tpb,
 
 def _fwd_one(tiles_x, tile_x, tile_y, channels, block, tl,
              cnt_ref, pk_ref, live_ref, accum_ref, ft_ref, med_ref, car_ref):
+    # car_ref is None on the no-grad render path: the per-block
+    # log-transmittance residuals exist only for the backward pass, and
+    # skipping them saves the (T, nb, P) HBM write on inference renders
     t = pl.program_id(0) * pk_ref.shape[0] + tl
     k = pk_ref.shape[1]
     p = tile_x * tile_y
@@ -135,14 +155,17 @@ def _fwd_one(tiles_x, tile_x, tile_y, channels, block, tl,
         entries sit at the FRONT of the K slots (pos = starts + arange <
         ends), so truncating at any block boundary past cnt is exact.
         Per-block log-transmittance carries are emitted (car_ref) so the
-        backward pass reads them instead of re-running this sweep."""
+        backward pass reads them instead of re-running this sweep.
+        (A product-space variant via _excl_prefix_prod was device-benched
+        SLOWER — see that helper's docstring.)"""
         log_t = jnp.zeros((1, p), jnp.float32)
         accum = jnp.zeros((c, p), jnp.float32)
         med_num = jnp.zeros((1, p), jnp.float32)
         med_any = jnp.zeros((1, p), jnp.float32)
         for b in range(nblocks):
             sl = slice(b * block, (b + 1) * block)
-            car_ref[tl, b] = log_t[0]
+            if car_ref is not None:
+                car_ref[tl, b] = log_t[0]
             power_b = jnp.dot(f_mat[sl], g_mat, preferred_element_type=jnp.float32)
             a_b, ok_b, _ = _alphas(power_b, op[sl], live[sl])
             l_blk = jnp.log(jnp.maximum(1.0 - a_b, LOG_EPS))         # (B,P)
@@ -160,28 +183,44 @@ def _fwd_one(tiles_x, tile_x, tile_y, channels, block, tl,
             med_any += jnp.sum(cross, axis=0, keepdims=True)
             log_t = log_t + jnp.sum(l_blk, axis=0, keepdims=True)
         for b in range(nblocks, nb_all):
-            car_ref[tl, b] = jnp.zeros((p,), jnp.float32)
+            if car_ref is not None:
+                car_ref[tl, b] = jnp.zeros((p,), jnp.float32)
         accum_ref[tl] = accum
         ft_ref[tl] = jnp.exp(log_t)
         med_ref[tl] = jnp.where(med_any > 0.5, med_num, 15.0)
 
-    # occupancy branch (the TPU analog of renderCUDA's per-tile range loop,
-    # forward.cu:263-270): a tile at most half full — the COMMON case in real
-    # smoke scenes (~30% mean fill) — runs a half-length unrolled body;
-    # dense tiles pay one predicated branch and keep register carries (a
-    # per-block scratch-carry guard measured ~10% slower on dense scenes)
+    _occupancy_dispatch(run, cnt, nb, block)
+
+
+def _occupancy_dispatch(run, cnt, nb, block):
+    """Tiered occupancy branch (the TPU analog of renderCUDA's per-tile
+    range loop, forward.cu:263-270): run the SHORTEST unrolled body that
+    covers the tile's live count — tiers full/half/quarter (deduped). Real
+    smoke scenes average ~30% fill, so most tiles take the quarter- or
+    half-length body; dense tiles pay one predicated branch and keep
+    register carries (a per-block scratch-carry guard measured ~10% slower
+    on dense scenes)."""
     if nb <= 1:
         run(nb)
-    else:
-        half = nb // 2
+        return
+    # full/half/quarter only: an eighth tier was device-benched at no extra
+    # win while the added unrolled body pushed Mosaic compile of the demo's
+    # multi-config graphs past 25 min (r3)
+    tiers = sorted({nb, (nb + 1) // 2, (nb + 3) // 4})
+    lo = 0
+    for i, tier in enumerate(tiers):
+        if i == len(tiers) - 1:
+            cond = cnt > lo * block
+        elif lo == 0:
+            cond = cnt <= tier * block           # includes empty tiles
+        else:
+            cond = (cnt > lo * block) & (cnt <= tier * block)
 
-        @pl.when(cnt > half * block)
-        def _():
-            run(nb)
+        @pl.when(cond)
+        def _(t=tier):
+            run(t)
 
-        @pl.when(cnt <= half * block)
-        def _():
-            run(half)
+        lo = tier
 
 
 def _bwd_kernel(tiles_x, tile_x, tile_y, channels, block, tpb,
@@ -301,18 +340,7 @@ def _bwd_one(tiles_x, tile_x, tile_y, channels, block, tl,
             dpk_ref[tl, slice(b * block, (b + 1) * block)] = (
                 jnp.zeros((block, 7 + c), jnp.float32))
 
-    if nb <= 1:
-        run(nb)
-    else:
-        half = nb // 2
-
-        @pl.when(cnt > half * block)
-        def _():
-            run(nb)
-
-        @pl.when(cnt <= half * block)
-        def _():
-            run(half)
+    _occupancy_dispatch(run, cnt, nb, block)
 
 
 def _pad_tiles(arrs, num_tiles, tpb):
@@ -328,7 +356,7 @@ def _counts(live):
     return jnp.sum(live > 0.5, axis=1).astype(jnp.int32)
 
 
-def _run_fwd(packed, live, tiles_x, tile_x, tile_y):
+def _run_fwd(packed, live, tiles_x, tile_x, tile_y, want_residuals=True):
     num_tiles, k, f = packed.shape
     channels = f - 7
     p = tile_x * tile_y
@@ -347,21 +375,25 @@ def _run_fwd(packed, live, tiles_x, tile_x, tile_y):
     block = lambda *shape: pl.BlockSpec((tpb,) + shape, lambda t, c: (t,) + (0,) * len(shape),
                                         memory_space=pltpu.VMEM)
     nb = k // blk
+    out_specs = [block(channels, p), block(1, p), block(1, p)]
+    out_shape = [
+        jax.ShapeDtypeStruct((nt, channels, p), jnp.float32),
+        jax.ShapeDtypeStruct((nt, 1, p), jnp.float32),
+        jax.ShapeDtypeStruct((nt, 1, p), jnp.float32),
+    ]
+    if want_residuals:
+        out_specs.append(block(nb, p))
+        out_shape.append(jax.ShapeDtypeStruct((nt, nb, p), jnp.float32))
     out = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nt // tpb,),
             in_specs=[block(k, f), block(k, 1)],
-            out_specs=(block(channels, p), block(1, p), block(1, p), block(nb, p)),
+            out_specs=tuple(out_specs),
         ),
         interpret=_interpret(),
-        out_shape=(
-            jax.ShapeDtypeStruct((nt, channels, p), jnp.float32),
-            jax.ShapeDtypeStruct((nt, 1, p), jnp.float32),
-            jax.ShapeDtypeStruct((nt, 1, p), jnp.float32),
-            jax.ShapeDtypeStruct((nt, nb, p), jnp.float32),
-        ),
+        out_shape=tuple(out_shape),
     )(cnt, packed, livev)
     return tuple(o[:num_tiles] for o in out)
 
@@ -406,7 +438,7 @@ def composite_tiles_packed(packed, live, tiles_x, tile_x, tile_y):
     Differentiable in the xy/conic/opacity/color columns; the depth column
     and live are constants (the reference backward also ignores
     depth/ordering grads)."""
-    return _run_fwd(packed, live, tiles_x, tile_x, tile_y)[:3]
+    return _run_fwd(packed, live, tiles_x, tile_x, tile_y, want_residuals=False)
 
 
 def _composite_fwd(packed, live, tiles_x, tile_x, tile_y):
