@@ -21,3 +21,13 @@ assert jax.default_backend() == "cpu", (
     f"{jax.default_backend()}"
 )
 assert jax.device_count() == 8, "expected 8 virtual CPU devices for sharding tests"
+
+# Persistent compilation cache: the CPU tile-rasterizer compiles dominate the
+# suite's runtime; caching them across runs/processes cuts repeat suites from
+# ~10 min toward the compile-free floor.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cpu_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass

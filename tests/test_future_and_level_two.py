@@ -117,3 +117,55 @@ def test_level_two_fit(tmp_path):
     # fitted scales should differ from the constant init
     sc = np.load(os.path.join(out_path, "checkpoint_level_two", "frame_001_visual_scales.npy"))
     assert not np.allclose(sc, -5.9)
+
+def test_future_simulation_renders_with_demo_cameras(tmp_path):
+    """The demo-camera sweep rig drives the future render path end-to-end:
+    cameras come from read_cameras_real_capture(use_demo_cameras=True) and
+    predict() renders the t=0 rig (the reference hardcodes time_index=0,
+    entries_fluid_nexus/future_simulation.py:179)."""
+    import json
+
+    from fluidnexus_tpu.data.readers import read_cameras_real_capture
+    from fluidnexus_tpu.data.scene import SceneInfo
+
+    root = str(tmp_path / "data")
+    os.makedirs(root)
+    rng = np.random.default_rng(3)
+    raw = np.stack([np.eye(4) for _ in range(4)])
+    # demo poses orbit ~2 units from the plume (world units)
+    raw[:, :3, 3] = np.array([0.326, 0.1, -0.3]) + np.array([0, 0, 2.0]) \
+        + 0.1 * rng.normal(size=(4, 3))
+    np.save(os.path.join(root, "demo_cams_poses_extra.npy"), raw)
+    c2w = np.eye(4)
+    c2w[:3, 3] = [0, 0, 3.0]
+    with open(os.path.join(root, "transforms_train.json"), "w") as f:
+        json.dump({"frames": [{"file_path": "camera00", "transform_matrix": c2w.tolist(),
+                               "camera_hw": [24, 32], "camera_angle_x": 0.8}]}, f)
+    cams = read_cameras_real_capture(
+        root, "transforms_train.json", duration=2, capture_part="smoke",
+        use_demo_cameras=True, read_image=False)
+    scene = SceneInfo(point_cloud=None, train_cameras=cams, test_cameras=[],
+                      nerf_normalization={"radius": 2.0, "translate": np.zeros(3)})
+
+    load_path = str(tmp_path / "recon")
+    out_path = str(tmp_path / "future")
+    fake_level_one_checkpoint(os.path.join(load_path, "checkpoint"))
+    cfg = Config()
+    o, m = cfg.optim, cfg.model
+    m.load_path, m.model_path = load_path, out_path
+    m.hidden_capacity, m.visual_capacity = 1024, 512
+    m.use_demo_cameras = True
+    o.future_pred_frames = 2
+    o.solver_iterations_future = 1
+    o.H, o.k, o.secs, o.alpha = 2.0, 3.0, 0.033, 0.0
+    o.emit_ratio_hidden = o.emit_ratio_visual = 1.0
+    o.init_hidden_velocity = 100.0
+    cfg.pipe.tile_capacity, cfg.pipe.chunk = 32, 8
+    cfg.pipe.dup_x = cfg.pipe.dup_y = 3
+
+    frames = predict(cfg, scene_info=scene, log=lambda *a: None, save_renders=True)
+    assert len(frames) == 2
+    renders = sorted(os.listdir(os.path.join(out_path, "training_render")))
+    # one demo camera in the t=0 rig, rendered for both future frames
+    assert len(renders) == 2
+    assert all("_demo000_" in r for r in renders)

@@ -3,6 +3,7 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fluidnexus_tpu.diffusion.ldm.autoencoder import AutoencoderKL, KLVAEConfig
 from fluidnexus_tpu.diffusion.ldm.clip import CLIPVisionConfig, CLIPVisionTower
@@ -17,6 +18,7 @@ TINY_CLIP = CLIPVisionConfig(image_size=28, patch_size=14, width=32, layers=2,
                              heads=4, output_dim=12)
 
 
+@pytest.mark.slow
 def test_unet_shapes():
     m = UNet(TINY_UNET)
     x = jnp.zeros((2, 16, 16, 8))
@@ -63,6 +65,7 @@ def test_pose_delta_matches_reference_semantics():
     np.testing.assert_allclose(d2, [0.0, 0.0, 1.0, 0.0], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_novel_view_loss_and_sample():
     model = NovelViewModel(unet_config=TINY_UNET, vae_config=TINY_VAE, clip_config=TINY_CLIP)
     # patch context dim: cc_projection is fixed 772->768 in the reference; the

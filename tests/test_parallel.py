@@ -53,6 +53,7 @@ def test_engine_loss_and_lora_freeze():
     assert base_norm == 0
 
 
+@pytest.mark.slow
 def test_dp_tp_train_step_on_mesh():
     """Full LoRA finetune step over a dp=2 x tp=2 mesh; GSPMD shards the
     attention/MLP matmuls over 'model' (the SAT ColumnParallelLinear
@@ -161,6 +162,7 @@ def test_camera_dp_render_grads_on_mesh():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_lora_partitioned_grads_match_frozen_full():
     """Partitioned LoRA training (grad over ONLY the lora subtree) must give
     the same LoRA gradients as the full-tree grad + freeze_non_lora path

@@ -176,6 +176,7 @@ def torch_reference_forward(sd, cfg, lat, tsteps, txt):
     return out.numpy()
 
 
+@pytest.mark.slow
 def test_port_video_dit_forward_equivalence():
     rng = np.random.default_rng(0)
     sd = make_state_dict(CFG, rng)

@@ -14,6 +14,7 @@ import dataclasses as dc
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fluidnexus_tpu.diffusion.video.dit import (
     VideoDiT, VideoDiTConfig, quantize_dit_params)
@@ -99,6 +100,7 @@ def test_quantize_layout_matches_quant_init():
     assert np.max(np.abs(w - wq)) <= np.max(np.abs(w)) / 127.0 * 1.01
 
 
+@pytest.mark.slow
 def test_int8_lora_grads_flow():
     """grad w.r.t. the lora subtree works through the int8 base matmuls
     (the partitioned-LoRA train path of train_video with --quant_base)."""

@@ -40,6 +40,7 @@ def _setup(remat: bool, layers: int):
     return loss, params
 
 
+@pytest.mark.slow
 def test_remat_wraps_every_block():
     """The grad jaxpr carries one remat scope per DiT block — activations
     inside each block are recomputed, not stored — and none without the flag."""
@@ -72,6 +73,7 @@ def test_remat_default_on():
     assert dataclasses.replace(VideoDiTConfig(), remat=False).remat is False
 
 
+@pytest.mark.slow
 def test_remat_group_exact_and_fewer_scopes():
     """remat_group=g stores ceil(L/g) boundaries instead of L: fewer remat
     scopes in the grad jaxpr, IDENTICAL outputs/grads/param paths (children

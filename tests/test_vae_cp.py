@@ -21,6 +21,7 @@ def _build(tc, ch_mult, t, hw, seed=0):
 
 
 @pytest.mark.parametrize("tc,ch_mult,t,n", [(2, (1, 2), 9, 4), (4, (1, 2, 2), 17, 2)])
+@pytest.mark.slow
 def test_cp_encode_matches_serial(tc, ch_mult, t, n):
     vae, params, x = _build(tc, ch_mult, t, 8)
     serial = vae.apply({"params": params}, x, sample=False, method=vae.encode,
@@ -32,6 +33,7 @@ def test_cp_encode_matches_serial(tc, ch_mult, t, n):
 
 
 @pytest.mark.parametrize("tc,ch_mult,t,n", [(2, (1, 2), 9, 4), (4, (1, 2, 2), 17, 2)])
+@pytest.mark.slow
 def test_cp_decode_matches_serial(tc, ch_mult, t, n):
     vae, params, x = _build(tc, ch_mult, t, 8, seed=7)
     z = vae.apply({"params": params}, x, sample=False, method=vae.encode,

@@ -66,6 +66,7 @@ def test_zero_snr_ladder():
     assert np.all(np.diff(a) > 0)  # ascending toward clean
 
 
+@pytest.mark.slow
 def test_vae_roundtrip_shapes():
     vae = VideoVAE(TINY_VAE)
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 5, 16, 16, 3))  # T=5=4k+1
@@ -79,6 +80,7 @@ def test_vae_roundtrip_shapes():
     assert np.isfinite(np.asarray(recon)).all()
 
 
+@pytest.mark.slow
 def test_vae_chunked_decode_matches_full():
     """Chunked decode with the carried conv cache must closely match the full
     decode. NOT bit-exact: GroupNorm statistics span the chunk's time extent,
@@ -156,6 +158,7 @@ def test_dynamic_cfg_schedule():
     np.testing.assert_allclose(float(late[0, 0]), 7.0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_vae_spatial_tiled_decode_matches_serial():
     """Width-tiled decode with halo crossfade (the single-chip fallback for
     the real 480x720 geometry whose full-frame decode exceeds 16 GiB HBM)
@@ -190,6 +193,7 @@ def test_vae_chunked_decode_first_latents_split():
     assert corr > 0.98, corr
 
 
+@pytest.mark.slow
 def test_vae_chunked_encode_matches_full():
     """Cache-carried chunked ENCODE (the training-path mirror of
     chunked_decode): exact when a single chunk covers the clip; multi-chunk

@@ -61,6 +61,7 @@ def test_i3d_fvd_self_distance_zero_and_golden():
     assert abs(d - frechet_distance(i3d_feature_fn(params, batch=4)(a), fb)) < 1e-9
 
 
+@pytest.mark.slow
 def test_i3d_checkpoint_roundtrip(tmp_path):
     """load_params reads the npz-converted pytorch-i3d key layout."""
     import os
