@@ -136,7 +136,7 @@ def train(args, log=print):
         def lora_step(lp, s, ema, bp, latents, txt, rng):
             loss, grads = jax.value_and_grad(
                 lambda q: engine.loss_fn(lora_merge(q, bp), latents, txt,
-                                         rng, is_i2v=True)[0])(lp)
+                                         rng, is_i2v=not args.t2v)[0])(lp)
             updates, s = opt.update(grads, s, lp)
             lp = optax.apply_updates(lp, updates)
             if ema is not None:
@@ -158,7 +158,7 @@ def train(args, log=print):
         @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
         def train_step(p, s, ema, latents, txt, rng):
             loss, grads = jax.value_and_grad(
-                lambda q: engine.loss_fn(q, latents, txt, rng, is_i2v=True)[0])(p)
+                lambda q: engine.loss_fn(q, latents, txt, rng, is_i2v=not args.t2v)[0])(p)
             grads = freeze_non_lora(grads)
             updates, s = opt.update(grads, s, p)
             p = optax.apply_updates(p, updates)
@@ -233,6 +233,10 @@ def build_argparser():
                          "default; the reference's shipped checkpoints sample "
                          "from the EMA tree). 0 disables.")
     ap.add_argument("--fixed_frames", type=int, default=3)
+    ap.add_argument("--t2v", action="store_true",
+                    help="plain t2v loss (the reference train_video.py "
+                         "shared_step) instead of the prefix-i2v default "
+                         "(train_image_to_video.py shared_step_i2v)")
     ap.add_argument("--ucg_rate", type=float, default=0.1)
     ap.add_argument("--num_frames", type=int, default=49)
     ap.add_argument("--height", type=int, default=480)
