@@ -113,6 +113,41 @@ def main():
         jax.block_until_ready(p)
         ips = max(ips, iters / (time.perf_counter() - t0))
 
+    # PBF solver tick at the reference's workload shape (28k hidden particles,
+    # 10 Jacobi projections per tick — configs/fluid_nexus_smoke_dynamics.json;
+    # the reference's torch_cluster.radius_graph path runs once per tick per
+    # frame). Secondary visibility metric, printed before the headline.
+    from fluidnexus_tpu.sim.pbf import PBFParams
+    from fluidnexus_tpu.sim.state import make_particle_state
+    from fluidnexus_tpu.pipelines.train_physical_particle import solver_tick
+
+    pparams = PBFParams(h=2.0, p0=1.5, k=3.0, secs=0.033)
+    px = rng.uniform(-8, 8, (28000, 3)).astype(np.float32) + np.array([32.6, 10, -30], np.float32)
+    pstate = make_particle_state(32768, jnp.asarray(px), init_velocity_y=50.0)
+
+    @jax.jit
+    def tick(st):
+        st, diags = solver_tick(st, pparams, 10, use_wind=False)
+        return st, jnp.sum(st.xyz)   # device-reduced scalar forces execution
+
+    st, chk = tick(pstate)
+    float(chk)
+    t_iters = 10
+    tps = 0.0
+    for _ in range(2):
+        s0 = pstate
+        t0 = time.perf_counter()
+        for _ in range(t_iters):
+            s0, chk = tick(s0)
+        float(chk)
+        tps = max(tps, t_iters / (time.perf_counter() - t0))
+    print(json.dumps({
+        "metric": "pbf_solver_ticks_per_sec",
+        "value": round(tps, 3),
+        "unit": "ticks/s (guess + 10 Jacobi projections, 28k particles, cap 32768)",
+        "vs_baseline": round(tps / 30.0, 4),  # ~30 ticks/s = 1 frame-tick in 33ms realtime
+    }))
+
     print(json.dumps({
         "metric": "train_step_iters_per_sec",
         "value": round(ips, 3),
