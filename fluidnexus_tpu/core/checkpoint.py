@@ -14,7 +14,22 @@ import numpy as np
 
 
 def save_params(path: str, params: Any):
-    """Orbax if available, else flat npz with /-joined keys."""
+    """Orbax if available, else flat npz with /-joined keys.
+
+    flax Partitioned/AxisMetadata boxes are UNBOXED first: orbax would
+    serialize a box as a {value, names, ...} subtree, which silently changes
+    the tree structure on restore (kernel leaves come back as dicts — found
+    by the train_video full-state resume test). Checkpoints are therefore
+    always plain array trees; reshard on load via param_shardings /
+    shard_for_generation."""
+    try:
+        import flax.linen as nn
+
+        params = jax.tree.map(
+            lambda x: x.unbox() if isinstance(x, nn.meta.AxisMetadata) else x,
+            params, is_leaf=lambda x: isinstance(x, nn.meta.AxisMetadata))
+    except Exception:
+        pass
     try:
         import orbax.checkpoint as ocp
 
@@ -36,6 +51,21 @@ def save_params(path: str, params: Any):
         add("", params)
         np.savez(path if path.endswith(".npz") else path + ".npz", **flat)
         return path
+
+
+def rebox_like(template: Any, plain: Any):
+    """Re-wrap a plain (checkpoint-loaded) tree in the flax Partitioned /
+    AxisMetadata boxes of `template` (a freshly-initialized tree), restoring
+    the logical-axis metadata that param_shardings / zero_shard_opt_state
+    read. Non-boxed positions pass through."""
+    import flax.linen as nn
+
+    def is_box(x):
+        return isinstance(x, nn.meta.AxisMetadata)
+
+    return jax.tree.map(
+        lambda t, v: t.replace_boxed(v) if is_box(t) else v,
+        template, plain, is_leaf=is_box)
 
 
 def load_params_prefer_ema(path: str):

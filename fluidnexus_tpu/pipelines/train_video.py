@@ -55,6 +55,31 @@ def _has_float_block_kernels(params) -> bool:
     return False
 
 
+def _flat_save(path, step, rng, opt_state, ema):
+    """Optimizer/EMA/rng/step sidecar for full training resume (the SAT
+    checkpoints the reference resumes from carry optimizer state too).
+    Trees are saved as flattened leaves; restore rebuilds them into the
+    treedef of a freshly-initialized state (robust to optax namedtuples)."""
+    flat = {"step": np.asarray(step), "rng_key": np.asarray(rng)}
+    for name, tree in (("o", opt_state), ("e", () if ema is None else ema)):
+        for i, leaf in enumerate(jax.tree.leaves(tree)):
+            flat[f"{name}_{i}"] = np.asarray(leaf)
+    np.savez(path, **flat)
+
+
+def _flat_load(path, opt_state, ema):
+    z = np.load(path)
+
+    def unflat(name, tree):
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        return jax.tree_util.tree_unflatten(
+            treedef, [jnp.asarray(z[f"{name}_{i}"]) for i in range(len(leaves))])
+
+    step = int(z["step"])
+    rng = jnp.asarray(z["rng_key"])
+    return step, rng, unflat("o", opt_state), (unflat("e", ema) if ema is not None else None)
+
+
 def train(args, log=print):
     import math
 
@@ -88,12 +113,23 @@ def train(args, log=print):
     if args.quant_base:
         dit_cfg = dataclasses.replace(dit_cfg, base_quant=True)
     engine = VideoEngine(dit_cfg, vae_cfg, fixed_frames=args.fixed_frames)
-    params = load_params(args.dit_ckpt) if args.dit_ckpt else engine.init_params(jax.random.PRNGKey(0))
-    if args.quant_base and _has_float_block_kernels(params):
-        # a float checkpoint was loaded into the int8 config: convert it
-        from fluidnexus_tpu.diffusion.video.dit import quantize_dit_params
+    if args.dit_ckpt:
+        params = load_params(args.dit_ckpt)
+        if args.quant_base and _has_float_block_kernels(params):
+            # a float checkpoint was loaded into the int8 config: convert it
+            from fluidnexus_tpu.diffusion.video.dit import quantize_dit_params
 
-        params = quantize_dit_params(params)
+            params = quantize_dit_params(params)
+        # checkpoints are plain trees — re-box into the init's logical-axis
+        # metadata (an eval_shape template, no 5B-sized init allocation) so
+        # the TP/ZeRO layout machinery keeps working
+        from fluidnexus_tpu.core.checkpoint import rebox_like
+
+        template = jax.eval_shape(lambda: engine.init_params(jax.random.PRNGKey(0)))
+        params = rebox_like(template, params)
+    else:
+        # fresh init under base_quant already creates int8 kernel_q + scales
+        params = engine.init_params(jax.random.PRNGKey(0))
     vae_params = load_params(args.vae_ckpt) if args.vae_ckpt else engine.init_vae_params(
         jax.random.PRNGKey(1), frames=5, height=args.height, width=args.width)
     params = jax.device_put(params, NamedSharding(mesh, P()))
@@ -178,12 +214,32 @@ def train(args, log=print):
         encode = jax.jit(lambda vp, f, k: engine.encode_first_stage(vp, f, k))
     data_sh = NamedSharding(mesh, P("data"))
     rng = jax.random.PRNGKey(args.seed)
+    start_it = 1
+    if args.resume_from:
+        # <save_dir> with iter_XXXXXXX + train_state_XXXXXXX.npz pairs, or a
+        # direct train_state path; params load from the matching iter dir
+        state_path = args.resume_from
+        if os.path.isdir(state_path):
+            states = sorted(f for f in os.listdir(state_path)
+                            if f.startswith("train_state_"))
+            assert states, f"no train_state_* under {state_path}"
+            state_path = os.path.join(args.resume_from, states[-1])
+        step, rng, opt_state, ema_params = _flat_load(state_path, opt_state, ema_params)
+        it_dir = os.path.join(os.path.dirname(state_path), f"iter_{step:07d}")
+        from fluidnexus_tpu.core.checkpoint import rebox_like
+
+        # checkpoints are plain trees; re-box into the fresh init's logical-
+        # axis metadata so ZeRO/TP layouts survive the resume
+        params = jax.device_put(rebox_like(params, load_params(it_dir)),
+                                NamedSharding(mesh, P()))
+        start_it = step + 1
+        log(f"resumed training state at iter {step} from {state_path}")
     t0 = time.time()
     from fluidnexus_tpu.utils.profiling import StageTimer, annotate, trace
 
     timer = StageTimer()
     with trace(getattr(args, "profile_dir", "")):
-        for it in range(1, args.iterations + 1):
+        for it in range(start_it, args.iterations + 1):
             with timer.stage("data"):
                 frames, captions = ds.sample_batch(args.batch, rng_np)
             rng, k_enc, k_ucg, k_loss = jax.random.split(rng, 4)
@@ -206,6 +262,10 @@ def train(args, log=print):
                     # the tree the gen CLIs prefer (load_params_prefer_ema)
                     save_params(os.path.join(args.save_dir, f"iter_{it:07d}_ema"),
                                 jax.device_get(ema_full_tree(params, ema_params)))
+                # optimizer/EMA/rng sidecar for --resume_from
+                _flat_save(os.path.join(args.save_dir, f"train_state_{it:07d}.npz"),
+                           it, rng, jax.device_get(opt_state),
+                           jax.device_get(ema_params) if ema_params is not None else None)
     final_ema = ema_full_tree(params, ema_params) if ema_params is not None else None
     return params, float(loss), final_ema
 
@@ -217,6 +277,10 @@ def build_argparser():
                          "(same semantics as the reference --base flag)")
     ap.add_argument("--data_root", default="")
     ap.add_argument("--save_dir", default="")
+    ap.add_argument("--resume_from", default="",
+                    help="save_dir (or train_state_*.npz) to resume FULL "
+                         "training state from: params + optimizer moments + "
+                         "EMA + rng + iteration (SAT checkpoint-resume parity)")
     ap.add_argument("--dit_ckpt", default="")
     ap.add_argument("--vae_ckpt", default="")
     ap.add_argument("--t5_dir", default="")

@@ -140,3 +140,41 @@ def test_train_video_lora_tiny(tmp_path):
     # the raw weights on the trained lora leaves
     assert ema is not None
     assert jax.tree_util.tree_structure(ema) == jax.tree_util.tree_structure(params)
+
+
+@pytest.mark.slow
+def test_train_video_resume_full_state(tmp_path):
+    """--resume_from restores params + optimizer moments + EMA + rng +
+    iteration (SAT checkpoint-resume parity): a 2-iter run saved at every
+    step resumes and finishes to 4 with the step counter continuing."""
+    from fluidnexus_tpu.pipelines.train_video import build_argparser, train
+
+    rng = np.random.default_rng(0)
+    from PIL import Image
+
+    clip = tmp_path / "videos" / "clip0"
+    os.makedirs(clip)
+    os.makedirs(tmp_path / "labels")
+    for i in range(9):
+        Image.fromarray(rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)).save(
+            clip / f"frame_{i:06d}.png")
+    (tmp_path / "labels" / "clip0.txt").write_text("a smoke plume")
+    save_dir = str(tmp_path / "ckpt")
+
+    base = ["--data_root", str(tmp_path), "--batch", "2", "--num_frames", "9",
+            "--height", "32", "--width", "32", "--tiny", "--lora_rank", "2",
+            "--log_every", "1", "--save_dir", save_dir, "--save_every", "1"]
+    args = build_argparser().parse_args(base + ["--iterations", "2"])
+    train(args, log=lambda *a: None)
+    assert os.path.exists(os.path.join(save_dir, "train_state_0000002.npz"))
+
+    logs = []
+    args2 = build_argparser().parse_args(base + ["--iterations", "4",
+                                                 "--resume_from", save_dir])
+    params, loss, ema = train(args2, log=lambda *a: logs.append(" ".join(map(str, a))))
+    assert np.isfinite(loss)
+    assert any("resumed training state at iter 2" in ln for ln in logs)
+    # the resumed run starts at iter 3 (no re-run of 1-2)
+    assert any(ln.startswith("iter 3/4") for ln in logs)
+    assert not any(ln.startswith("iter 1/4") for ln in logs)
+    assert os.path.exists(os.path.join(save_dir, "iter_0000004_ema"))
