@@ -72,7 +72,10 @@ def load_params_prefer_ema(path: str):
     """Load `<path>_ema` when it exists, else `<path>` — FusedEmaAdam parity:
     the reference samples from EMA weights (sft_pi2v_*.yaml optimizer block),
     and train_video saves the EMA-merged tree as the `_ema` sibling."""
-    ema = path.rstrip("/") + "_ema"
+    base = path.rstrip("/")
+    if base.endswith(".npz"):
+        base = base[:-4]
+    ema = base + "_ema"
     if os.path.isdir(ema) or os.path.exists(ema) or os.path.exists(ema + ".npz"):
         return load_params(ema)
     return load_params(path)

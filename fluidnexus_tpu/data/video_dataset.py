@@ -78,16 +78,18 @@ def select_clip_frames(ori_vlen: int, actual_fps: float, fps: float,
     into the raw clip, num_frames recorded for the item)."""
     start = int(skip_frms_num)
     if actual_fps > 0 and ori_vlen / actual_fps * fps > max_num_frames:
-        # long clip: resample to `fps`
+        # long clip: resample to `fps`. Stride floors to >=1: a clip slower
+        # than the target fps (or barely longer than max) would otherwise
+        # compute stride 0 and crash np.arange
         num = max_num_frames
         end = int(start + num / fps * actual_fps)
-        idx = np.arange(start, end, (end - start) // num).astype(int)
+        idx = np.arange(start, end, max((end - start) // num, 1)).astype(int)
         idx = np.clip(idx, 0, ori_vlen - 1)
         return idx, num
     if ori_vlen > max_num_frames:
         num = max_num_frames
         end = int(ori_vlen - skip_frms_num)
-        idx = np.arange(start, end, (end - start) // num).astype(int)
+        idx = np.arange(start, end, max((end - start) // num, 1)).astype(int)
         return idx, num
     end = int(ori_vlen - skip_frms_num)
     num = nearest_smaller_4k_plus_1(end - start)

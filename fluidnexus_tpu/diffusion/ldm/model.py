@@ -143,15 +143,14 @@ class NovelViewModel:
 
     # ------------------------------ sampling ---------------------------------
 
-    def ddim_sample(self, params, cond_image, pose_delta, rng, num_steps=50,
-                    cfg_scale=3.0, eta=1.0, image_size=256):
-        """DDIMSampler.sample with CFG (helpers/test_helpers.py:38-66: S=50,
-        scale 3.0, eta 1.0). Returns decoded images (B,H,W,3) in [0,1].
 
-        TPU shape: ONE lax.scan over the step schedule (the reference loops
-        in Python with two UNet launches per step; under jit that unrolled
-        into a 100-UNet-instance graph with minutes of compile) and cond +
-        uncond batched into a single batch-2B UNet pass per step."""
+    # --------------------- shared sampler scaffolding ------------------------
+
+    def _sampler_setup(self, params, cond_image, pose_delta, num_steps,
+                       eta, cfg_scale, image_size, rng):
+        """Shared DDIM/PLMS scaffolding: doubled CFG conditioning, the
+        timestep/alpha ladder, the batched cond+uncond eps fn, and the
+        initial noise. Returns (model_eps, ladder dict, x0, rng)."""
         b = cond_image.shape[0]
         lat = image_size // self.downsample_factor
         ctx, concat = self.conditioning(params, cond_image, pose_delta)
@@ -164,29 +163,51 @@ class NovelViewModel:
         a_prev = np.concatenate([ac[times[1:]], [1.0]])
         sigma = eta * np.sqrt((1 - a_prev) / (1 - a_t) * (1 - a_t / a_prev))
         dir_coef = np.sqrt(np.maximum(1 - a_prev - sigma**2, 0.0))
-        xs = (jnp.asarray(times, jnp.int32),
-              jnp.asarray(a_t, jnp.float32), jnp.asarray(a_prev, jnp.float32),
-              jnp.asarray(sigma, jnp.float32), jnp.asarray(dir_coef, jnp.float32),
-              jnp.arange(num_steps, dtype=jnp.int32))
+        ladder = dict(times=times, a_t=a_t, a_prev=a_prev, sigma=sigma,
+                      dir_coef=dir_coef)
 
-        rng, k0 = jax.random.split(rng)
-        x0 = jax.random.normal(k0, (b, lat, lat, self.unet_config.out_channels))
-
-        def step(x, inp):
-            t, at, ap, sg, dc, i = inp
+        def model_eps(x, t):
             tv = jnp.full((2 * b,), t, jnp.int32)
             x2 = jnp.concatenate([x, x], 0)
             eps2 = self.unet.apply({"params": params["unet"]},
                                    jnp.concatenate([x2, concat2], -1), tv, ctx2)
             eps_c, eps_u = jnp.split(eps2, 2, 0)
-            eps = eps_u + cfg_scale * (eps_c - eps_u)
+            return eps_u + cfg_scale * (eps_c - eps_u)
+
+        rng, k0 = jax.random.split(rng)
+        x0 = jax.random.normal(k0, (b, lat, lat, self.unet_config.out_channels))
+        return model_eps, ladder, x0, rng
+
+    def _decode_unit(self, params, x):
+        img = self.vae.apply({"params": params["vae"]}, x, method=self.vae.decode)
+        return jnp.clip((img + 1) / 2, 0.0, 1.0)
+
+    def ddim_sample(self, params, cond_image, pose_delta, rng, num_steps=50,
+                    cfg_scale=3.0, eta=1.0, image_size=256):
+        """DDIMSampler.sample with CFG (helpers/test_helpers.py:38-66: S=50,
+        scale 3.0, eta 1.0). Returns decoded images (B,H,W,3) in [0,1].
+
+        TPU shape: ONE lax.scan over the step schedule (the reference loops
+        in Python with two UNet launches per step; under jit that unrolled
+        into a 100-UNet-instance graph with minutes of compile) and cond +
+        uncond batched into a single batch-2B UNet pass per step."""
+        model_eps, lad, x0, rng = self._sampler_setup(
+            params, cond_image, pose_delta, num_steps, eta, cfg_scale,
+            image_size, rng)
+        xs = (jnp.asarray(lad["times"], jnp.int32),
+              jnp.asarray(lad["a_t"], jnp.float32), jnp.asarray(lad["a_prev"], jnp.float32),
+              jnp.asarray(lad["sigma"], jnp.float32), jnp.asarray(lad["dir_coef"], jnp.float32),
+              jnp.arange(num_steps, dtype=jnp.int32))
+
+        def step(x, inp):
+            t, at, ap, sg, dc, i = inp
+            eps = model_eps(x, t)
             pred_x0 = (x - jnp.sqrt(1 - at) * eps) / jnp.sqrt(at)
             noise = sg * jax.random.normal(jax.random.fold_in(rng, i), x.shape)
             return jnp.sqrt(ap) * pred_x0 + dc * eps + noise, None
 
         x, _ = jax.lax.scan(step, x0, xs)
-        img = self.vae.apply({"params": params["vae"]}, x, method=self.vae.decode)
-        return jnp.clip((img + 1) / 2, 0.0, 1.0)
+        return self._decode_unit(params, x)
 
     def plms_sample(self, params, cond_image, pose_delta, rng, num_steps=50,
                     cfg_scale=3.0, image_size=256):
@@ -196,32 +217,14 @@ class NovelViewModel:
         by the FluidNexus configs (they sample DDIM) — provided for
         reference API completeness. One lax.scan; the eps history rides the
         carry, lax.switch picks the multistep order."""
-        b = cond_image.shape[0]
-        lat = image_size // self.downsample_factor
-        ctx, concat = self.conditioning(params, cond_image, pose_delta)
-        ctx2 = jnp.concatenate([ctx, jnp.zeros_like(ctx)], 0)
-        concat2 = jnp.concatenate([concat, jnp.zeros_like(concat)], 0)
-
-        times = np.linspace(0, self.num_timesteps - 1, num_steps).astype(int)[::-1].copy()
+        model_eps, lad, x0, rng = self._sampler_setup(
+            params, cond_image, pose_delta, num_steps, 0.0, cfg_scale,
+            image_size, rng)
+        times = lad["times"]
         t_next = np.concatenate([times[1:], [times[-1]]])  # plms.py:160-164
-        ac = np.asarray(self.schedule.alphas_cumprod, np.float64)
-        a_t = ac[times]
-        a_prev = np.concatenate([ac[times[1:]], [1.0]])
-        dir_coef = np.sqrt(1 - a_prev)                     # eta = 0
         xs = (jnp.asarray(times, jnp.int32), jnp.asarray(t_next, jnp.int32),
-              jnp.asarray(a_t, jnp.float32), jnp.asarray(a_prev, jnp.float32),
-              jnp.asarray(dir_coef, jnp.float32))
-
-        rng, k0 = jax.random.split(rng)
-        x0 = jax.random.normal(k0, (b, lat, lat, self.unet_config.out_channels))
-
-        def model_eps(x, t):
-            tv = jnp.full((2 * b,), t, jnp.int32)
-            x2 = jnp.concatenate([x, x], 0)
-            eps2 = self.unet.apply({"params": params["unet"]},
-                                   jnp.concatenate([x2, concat2], -1), tv, ctx2)
-            eps_c, eps_u = jnp.split(eps2, 2, 0)
-            return eps_u + cfg_scale * (eps_c - eps_u)
+              jnp.asarray(lad["a_t"], jnp.float32), jnp.asarray(lad["a_prev"], jnp.float32),
+              jnp.asarray(lad["dir_coef"], jnp.float32))  # eta=0 -> sqrt(1-a_prev)
 
         def step(carry, inp):
             x, hist, n = carry
@@ -249,8 +252,7 @@ class NovelViewModel:
 
         hist0 = jnp.zeros((3,) + x0.shape, x0.dtype)
         (x, _, _), _ = jax.lax.scan(step, (x0, hist0, jnp.int32(0)), xs)
-        img = self.vae.apply({"params": params["vae"]}, x, method=self.vae.decode)
-        return jnp.clip((img + 1) / 2, 0.0, 1.0)
+        return self._decode_unit(params, x)
 
 
 class _CCProjection(nn.Module):

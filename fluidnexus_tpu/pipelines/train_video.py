@@ -67,7 +67,7 @@ def _flat_save(path, step, rng, opt_state, ema):
     np.savez(path, **flat)
 
 
-def _flat_load(path, opt_state, ema):
+def _flat_load(path, opt_state, ema, log=print):
     z = np.load(path)
 
     def unflat(name, tree):
@@ -77,12 +77,24 @@ def _flat_load(path, opt_state, ema):
 
     step = int(z["step"])
     rng = jnp.asarray(z["rng_key"])
+    if ema is not None and "e_0" not in z.files:
+        # checkpoint was saved with --ema_decay 0: signal the caller to seed
+        # a fresh EMA from the RESUMED params (None here)
+        log("resume: checkpoint has no EMA state (saved with ema_decay=0); "
+            "seeding a fresh EMA from the resumed params")
+        return step, rng, unflat("o", opt_state), None
     return step, rng, unflat("o", opt_state), (unflat("e", ema) if ema is not None else None)
 
 
 def train(args, log=print):
     import math
 
+    if args.quant_base and args.lora_rank <= 0:
+        raise SystemExit(
+            "--quant_base requires --lora_rank > 0: the int8 base is frozen "
+            "by construction (jax.grad rejects int8 leaves on the "
+            "full-finetune path); quantized training is LoRA-only, like the "
+            "reference 5B finetune recipe")
     n = jax.device_count()
     dp = math.gcd(args.batch, n // args.tp)  # batch must divide over 'data'
     mesh = make_mesh(dp * args.tp, dp=dp, tp=args.tp)
@@ -224,7 +236,9 @@ def train(args, log=print):
                             if f.startswith("train_state_"))
             assert states, f"no train_state_* under {state_path}"
             state_path = os.path.join(args.resume_from, states[-1])
-        step, rng, opt_state, ema_params = _flat_load(state_path, opt_state, ema_params)
+        want_ema = ema_params is not None
+        step, rng, opt_state, ema_params = _flat_load(state_path, opt_state,
+                                                      ema_params, log=log)
         it_dir = os.path.join(os.path.dirname(state_path), f"iter_{step:07d}")
         from fluidnexus_tpu.core.checkpoint import rebox_like
 
@@ -232,11 +246,23 @@ def train(args, log=print):
         # axis metadata so ZeRO/TP layouts survive the resume
         params = jax.device_put(rebox_like(params, load_params(it_dir)),
                                 NamedSharding(mesh, P()))
+        # _flat_load rebuilt moments as default-device arrays: re-apply the
+        # ZeRO/TP placement or the resumed run loses the sharded-optimizer
+        # memory layout the 5B recipe depends on
+        opt_state = zero_shard_opt_state(opt_state, mesh)
+        if want_ema and ema_params is None:
+            # seed EMA from the RESUMED trainables
+            src = lora_partition(params)[0] if args.lora_rank > 0 else params
+            ema_params = jax.tree_util.tree_map(jnp.copy, src)
         start_it = step + 1
         log(f"resumed training state at iter {step} from {state_path}")
     t0 = time.time()
     from fluidnexus_tpu.utils.profiling import StageTimer, annotate, trace
 
+    loss = jnp.asarray(float("nan"))   # stays NaN if the loop runs 0 iters
+    if start_it > args.iterations:
+        log(f"nothing to do: resumed at iter {start_it - 1} >= --iterations "
+            f"{args.iterations}")
     timer = StageTimer()
     with trace(getattr(args, "profile_dir", "")):
         for it in range(start_it, args.iterations + 1):
@@ -254,8 +280,9 @@ def train(args, log=print):
                     params, opt_state, ema_params, latents, txt, k_loss)
                 st.block_on = loss
             if it % args.log_every == 0:
+                ips = (it - start_it + 1) / max(time.time() - t0, 1e-9)
                 log(f"iter {it}/{args.iterations} loss {float(loss):.5f} "
-                    f"({it / (time.time() - t0):.2f} it/s) [{timer.report()}]")
+                    f"({ips:.2f} it/s) [{timer.report()}]")
             if args.save_dir and it % args.save_every == 0:
                 save_params(os.path.join(args.save_dir, f"iter_{it:07d}"), jax.device_get(params))
                 if ema_params is not None:
