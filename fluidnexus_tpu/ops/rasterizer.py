@@ -292,7 +292,13 @@ def _build_tile_lists(proj: Projected, cfg: RasterizerConfig, tiles_x: int, tile
         depth_rank = jnp.zeros((n,), jnp.int32).at[jnp.argsort(proj.depth)].set(
             jnp.arange(n, dtype=jnp.int32))
         key = tile * n_pow2 + depth_rank[:, None]
-        sorted_key, sorted_gidx = jax.lax.sort((key.reshape(-1), gidx.reshape(-1)), num_keys=1)
+        # keys are globally unique (depth_rank is a permutation, so within a
+        # tile every key differs; across tiles the tile prefix differs) —
+        # an unstable sort is bit-identical and drops the stability iota XLA
+        # otherwise co-sorts (device-profiled: the stable 3-array sort was
+        # 0.42 ms/step at the bench workload)
+        sorted_key, sorted_gidx = jax.lax.sort((key.reshape(-1), gidx.reshape(-1)),
+                                               num_keys=1, is_stable=False)
         sorted_tile = sorted_key // n_pow2
     else:
         depth = jnp.broadcast_to(proj.depth[:, None], (n, d)).astype(jnp.float32)

@@ -91,6 +91,27 @@ def _tri_lower(b):
     return (c < r).astype(jnp.float32)
 
 
+def _tri_lower_bd(b, half):
+    """Block-diagonal strictly-lower ones (B,B): two independent (half,half)
+    strict-lower blocks. DEVICE-BENCHED LOSER (r3): a PAIRED 128-row sweep
+    (one block-diag matmul per pair + cross-half broadcast row-sums, halving
+    the per-row matmul count in both kernels) measured 81.0 fps / 85.3 it/s
+    vs 94.2 / 98.0 for the plain 64-row sweep at the bench workload — the
+    XLA-level ~3us/matmul issue floor does NOT apply inside Mosaic, and the
+    doubled (128,P) working set costs VMEM pressure instead. Kept for
+    reference, not called."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    return ((c < r) & (c // half == r // half)).astype(jnp.float32)
+
+
+def _half_masks(b, half, p):
+    """(B,1) masks selecting the low/high half-rows of a paired block."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)
+    hi = (r >= half).astype(jnp.float32)
+    return 1.0 - hi, hi
+
+
 def _excl_prefix_prod(v):
     """Exclusive prefix product along axis 0 (p_i = prod_{j<i} v_j) via
     Hillis-Steele doubling: log2(B) elementwise (B,P) multiplies with static
@@ -146,8 +167,6 @@ def _fwd_one(tiles_x, tile_x, tile_y, channels, block, tl,
     live = live_ref[tl]
 
     lt = _tri_lower(block)
-    nb = k // block
-
     nb_all = k // block
 
     def run(nblocks):
@@ -157,7 +176,8 @@ def _fwd_one(tiles_x, tile_x, tile_y, channels, block, tl,
         Per-block log-transmittance carries are emitted (car_ref) so the
         backward pass reads them instead of re-running this sweep.
         (A product-space variant via _excl_prefix_prod was device-benched
-        SLOWER — see that helper's docstring.)"""
+        SLOWER — see that helper's docstring; a PAIRED 128-row variant via
+        _tri_lower_bd likewise.)"""
         log_t = jnp.zeros((1, p), jnp.float32)
         accum = jnp.zeros((c, p), jnp.float32)
         med_num = jnp.zeros((1, p), jnp.float32)
@@ -189,7 +209,7 @@ def _fwd_one(tiles_x, tile_x, tile_y, channels, block, tl,
         ft_ref[tl] = jnp.exp(log_t)
         med_ref[tl] = jnp.where(med_any > 0.5, med_num, 15.0)
 
-    _occupancy_dispatch(run, cnt, nb, block)
+    _occupancy_dispatch(run, cnt, nb_all, block)
 
 
 def _occupancy_dispatch(run, cnt, nb, block):
@@ -269,9 +289,8 @@ def _bwd_one(tiles_x, tile_x, tile_y, channels, block, tl,
         return power_b, a_b, ok_b, raw_b, l_b
 
     lt = _tri_lower(block)
-    su = _tri_lower(block).T  # strictly upper: row i sums j > i
+    su = lt.T  # strictly upper: row i sums j > i
     gacc = gacc_ref[tl]                                              # (C,P)
-    gm = jnp.concatenate([jnp.ones_like(px), px, py], axis=0)        # (3,P)
     x = xy[:, 0:1]
     y = xy[:, 1:2]
     ca = con[:, 0:1]
@@ -306,17 +325,17 @@ def _bwd_one(tiles_x, tile_x, tile_y, channels, block, tl,
             dop_blk = jnp.sum(jnp.where(ok_b & not_clamped,
                                         da * (raw_b / jnp.maximum(op[sl], 1e-20)),
                                         0.0), axis=1, keepdims=True)
-            m = jnp.dot(dpower, gm.T, preferred_element_type=jnp.float32)  # (B,3): [m0, mx, my]
-            m2 = jnp.dot(dpower, (gm * gm[1:2]).T, preferred_element_type=jnp.float32)
-            # m2 columns: [sum dp*px, sum dp*px^2, sum dp*px*py]
-            m3 = jnp.dot(dpower, (gm * gm[2:3]).T, preferred_element_type=jnp.float32)
-            # m3 columns: [sum dp*py, sum dp*px*py, sum dp*py^2]
-            m0 = m[:, 0:1]
-            mx = m[:, 1:2]
-            my = m[:, 2:3]
-            mxx = m2[:, 1:2]
-            mxy = m2[:, 2:3]
-            myy = m3[:, 2:3]
+            # ALL six pixel moments in ONE matmul: the needed monomials
+            # [1, px, py, px^2, px*py, py^2] are exactly g_mat's six rows
+            # [px^2, py^2, px*py, px, py, 1] — reuse it as the RHS (was three
+            # (B,P)@(P,3) matmuls over 9 columns with only 6 unique)
+            m_all = jnp.dot(dpower, g_mat.T, preferred_element_type=jnp.float32)  # (B,6)
+            mxx = m_all[:, 0:1]
+            myy = m_all[:, 1:2]
+            mxy = m_all[:, 2:3]
+            mx = m_all[:, 3:4]
+            my = m_all[:, 4:5]
+            m0 = m_all[:, 5:6]
 
             xb, yb = x[sl], y[sl]
             cab, cbb, ccb = ca[sl], cb[sl], cc[sl]
