@@ -7,12 +7,24 @@ neighbor lists ``(Nq, K)`` with a validity mask: every downstream reduction
 becomes a masked sum over axis 1 — dense, static-shape math that XLA tiles
 onto the VPU, with no scatter in the hot path.
 
-Algorithm: spatial hashing. Points are binned into cells of edge ``r`` via the
-classic xor-of-primes hash into a power-of-two table; each query point gathers
-candidates from its 27 surrounding cells and keeps the K nearest within ``r``
-(ties to the nearest — unlike torch_cluster's arbitrary first-K, this is
-deterministic and physically sensible). Hash collisions only add false
-candidates, which the distance test filters.
+Algorithm: a BOUNDED dense grid (no hashing). Points are binned into cells of
+edge ``r`` inside a ``grid^3`` box anchored at the dynamic data minimum; each
+query gathers candidates from its 27 surrounding cells (in bucket layout, so
+the coordinate fetch is wide row-gathers, not 28M scalar-indexed loads) and
+keeps the K nearest within ``r``.
+
+Why no hash (v2, device-profiled): the v1 xor-prime hash allowed the 27
+neighbor cells to collide onto one bucket, so every query row needed a
+duplicate-invalidation pass — THREE extra (Nq, 27*M) row-sorts that
+dominated the 800 ms/call measured at the 32k bench workload. With a dense
+grid, distinct in-range cells can never alias; the only duplicates would come
+from edge-clamping, and those offsets are EXCLUDED exactly by a per-axis
+validity test (an out-of-range neighbor cell holds no points that aren't
+already covered by the clamped center cell, because out-of-box points clamp
+into the same boundary slab). Points beyond the box stay correct — they just
+concentrate in boundary cells, where the fixed ``cell_capacity`` may truncate
+(counted in ``overflow``; the reference truncates too, at
+``max_num_neighbors`` with an arbitrary-first subset).
 """
 from __future__ import annotations
 
@@ -21,8 +33,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-
-_P1, _P2, _P3 = 73856093, 19349663, 83492791
 
 
 class NeighborList(NamedTuple):
@@ -35,107 +45,127 @@ class NeighborList(NamedTuple):
         return self.mask.sum(-1)
 
 
-def _cell_hash(cell_xyz, table_size):
-    h = (cell_xyz[..., 0] * _P1) ^ (cell_xyz[..., 1] * _P2) ^ (cell_xyz[..., 2] * _P3)
-    return (h & (table_size - 1)).astype(jnp.int32)
-
-
 def _next_pow2(n):
     return 1 << max(1, (int(n) - 1).bit_length())
 
 
-def _build_table(x, alive_x, r, table_size, cell_capacity):
-    """Scatter data points into hash-table buckets of fixed capacity."""
-    n = x.shape[0]
-    cell = jnp.floor(x / r).astype(jnp.int32)
-    cid = _cell_hash(cell, table_size)
-    cid = jnp.where(alive_x, cid, table_size)  # park dead points in a sentinel cell
+def _build_grid(x, alive_x, origin, r, grid, cell_capacity):
+    """Bin data points into the dense-grid bucket tables.
 
-    order = jnp.argsort(cid)
+    Returns (bidx (C+1, M) int32 slot->point with -1 padding, bxyz (C+1, M, 3)
+    slot coordinates, overflow). Row C (the sentinel) stays all -1 so invalid
+    neighbor-cell ids can safely index it."""
+    n = x.shape[0]
+    m = cell_capacity
+    ncells = grid * grid * grid
+    cell = jnp.clip(jnp.floor(x / r).astype(jnp.int32) - origin, 0, grid - 1)
+    cid = cell[:, 0] + grid * (cell[:, 1] + grid * cell[:, 2])
+    cid = jnp.where(alive_x, cid, ncells)  # park dead points in the sentinel
+
+    order = jnp.argsort(cid).astype(jnp.int32)
     cid_sorted = cid[order]
     # rank within the run of equal cell ids
     first = jnp.searchsorted(cid_sorted, cid_sorted, side="left")
     rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
 
-    buckets = jnp.full((table_size + 1, cell_capacity), -1, jnp.int32)
-    ok = rank < cell_capacity
-    buckets = buckets.at[jnp.where(ok, cid_sorted, table_size), jnp.where(ok, rank, 0)].set(
-        jnp.where(ok, order.astype(jnp.int32), -1), mode="drop"
-    )
-    overflow = jnp.sum(~ok & (cid_sorted < table_size))
-    return buckets[:table_size], overflow
+    # SCATTER bucket build (device-profiled FASTER than the scatter-free
+    # gather build: 141 vs 212 ms/radius_graph at the 32k bench workload —
+    # the (C+1, M) gather over all grid cells loses to one 2-D scatter of N
+    # rows when most cells are empty)
+    ok = (rank < m) & (cid_sorted < ncells)
+    row = jnp.where(ok, cid_sorted, ncells)
+    col = jnp.where(ok, rank, 0)
+    bidx = jnp.full((ncells + 1, m), -1, jnp.int32)
+    bidx = bidx.at[row, col].set(jnp.where(ok, order, -1), mode="drop")
+    bxyz = jnp.zeros((ncells + 1, m, 3), x.dtype)
+    bxyz = bxyz.at[row, col].set(x[order], mode="drop")
+    overflow = jnp.sum((rank >= m) & (cid_sorted < ncells))
+    return bidx, bxyz, overflow
+
+
+import numpy as _np
+
+_OFFSETS = _np.stack(
+    _np.meshgrid(*([_np.arange(-1, 2)] * 3), indexing="ij"),
+    -1).reshape(27, 3).astype(_np.int32)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "include_self", "table_size", "cell_capacity")
+    jax.jit, static_argnames=("k", "include_self", "grid", "cell_capacity")
 )
-def _radius_impl(x, y, alive_x, alive_y, self_idx, r, k, include_self, table_size, cell_capacity):
-    buckets, overflow = _build_table(x, alive_x, r, table_size, cell_capacity)
+def _radius_impl(x, y, alive_x, alive_y, self_idx, r, k, include_self, grid,
+                 cell_capacity):
+    nq = y.shape[0]
+    m = cell_capacity
+    ncells = grid * grid * grid
 
-    qcell = jnp.floor(y / r).astype(jnp.int32)
-    off = jnp.stack(
-        jnp.meshgrid(*([jnp.arange(-1, 2)] * 3), indexing="ij"), -1
-    ).reshape(27, 3).astype(jnp.int32)
-    ncells = qcell[:, None, :] + off[None, :, :]                # (Nq,27,3)
-    nh = _cell_hash(ncells, table_size)                          # (Nq,27)
-    cand = buckets[nh].reshape(y.shape[0], 27 * cell_capacity)   # (Nq, 27*M)
+    # box anchored at the live-point minimum (over data AND queries so both
+    # land at non-negative cell coords)
+    big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
+    lo = jnp.minimum(
+        jnp.min(jnp.where(alive_x[:, None], x, big), axis=0),
+        jnp.min(jnp.where(alive_y[:, None], y, big), axis=0))
+    origin = jnp.floor(lo / r).astype(jnp.int32)
 
+    bidx, bxyz, overflow = _build_grid(x, alive_x, origin, r, grid, m)
+
+    qcell = jnp.clip(jnp.floor(y / r).astype(jnp.int32) - origin, 0, grid - 1)
+    off = jnp.asarray(_OFFSETS)
+    nc = qcell[:, None, :] + off[None, :, :]                     # (Nq,27,3)
+    # EXACT dedup-free validity: a non-zero offset whose cell is out of range
+    # can only alias a clamped in-range cell — every point it could contain
+    # already lives in the covered boundary cell, so drop it
+    off_ok = jnp.all((off[None] == 0) | ((nc >= 0) & (nc < grid)), axis=-1)
+    nid = nc[..., 0] + grid * (nc[..., 1] + grid * nc[..., 2])
+    nid = jnp.where(off_ok, nid, ncells)                         # (Nq,27)
+
+    cand = bidx[nid].reshape(nq, 27 * m)                         # (Nq, 27M)
+    cxyz = bxyz[nid].reshape(nq, 27 * m, 3)
     cand_ok = cand >= 0
-    cand_safe = jnp.maximum(cand, 0)
-    d2 = jnp.sum((y[:, None, :] - x[cand_safe]) ** 2, -1)
-    r2 = r * r
-    good = cand_ok & (d2 <= r2) & alive_x[cand_safe] & alive_y[:, None]
+    d2 = jnp.sum((y[:, None, :] - cxyz) ** 2, -1)
+    good = cand_ok & (d2 <= r * r) & alive_y[:, None]
     if not include_self and self_idx is not None:
         good = good & (cand != self_idx[:, None])
-    # 27 cells can hash-collide onto the same bucket -> duplicate candidates.
-    # Dedup: invalidate repeats of the same index within a row.
-    srt = jnp.sort(jnp.where(good, cand, jnp.iinfo(jnp.int32).max), axis=1)
-    dup_sorted = jnp.concatenate(
-        [jnp.zeros_like(srt[:, :1], bool), srt[:, 1:] == srt[:, :-1]], axis=1
-    )
-    # map duplicates back by re-sorting positions: instead, mark good entries
-    # whose first occurrence is elsewhere using a rank trick
-    key = jnp.where(good, cand, jnp.iinfo(jnp.int32).max)
-    order = jnp.argsort(key, axis=1)
-    inv = jnp.argsort(order, axis=1)
-    dup = jnp.take_along_axis(dup_sorted, inv, axis=1)
-    good = good & ~dup
 
-    # keep K nearest: sort by (invalid, distance)
-    sort_key = jnp.where(good, d2, jnp.inf)
-    sel = jnp.argsort(sort_key, axis=1)[:, :k]
-    idx = jnp.take_along_axis(cand_safe, sel, axis=1)
+    # keep K nearest: one row argsort over masked distances (device-profiled
+    # marginally cheaper than lax.top_k at the (32k, 864) bench shape)
+    sel = jnp.argsort(jnp.where(good, d2, jnp.inf), axis=1)[:, :k]
+    idx = jnp.take_along_axis(jnp.maximum(cand, 0), sel, axis=1)
     msk = jnp.take_along_axis(good, sel, axis=1)
     return NeighborList(idx=jnp.where(msk, idx, 0), mask=msk, overflow=overflow)
 
 
-def radius_query(x, y, r, k, alive_x=None, alive_y=None, table_size=None, cell_capacity=32):
+def radius_query(x, y, r, k, alive_x=None, alive_y=None, table_size=None,
+                 cell_capacity=32, grid_cells=32):
     """Neighbors of each query ``y`` among data points ``x`` within radius ``r``.
 
     Equivalent of ``torch_cluster.radius(x=x, y=y, r=r, max_num_neighbors=k)``
     (used at gm_dynamics.py:1369,1465) but returns the K *nearest* as a padded
     (Nq, K) list. ``alive_*`` mask padding rows of static-capacity buffers.
-    """
+    ``table_size`` is accepted for v1 compatibility and ignored (the dense
+    grid replaced the hash table); ``grid_cells`` is the box resolution per
+    axis (box edge = grid_cells * r, anchored at the data minimum)."""
     n = x.shape[0]
     if alive_x is None:
         alive_x = jnp.ones((n,), bool)
     if alive_y is None:
         alive_y = jnp.ones((y.shape[0],), bool)
-    ts = table_size or _next_pow2(2 * n)
-    return _radius_impl(x, y, alive_x, alive_y, None, jnp.asarray(r, x.dtype), k, True, ts, cell_capacity)
+    return _radius_impl(x, y, alive_x, alive_y, None, jnp.asarray(r, x.dtype),
+                        k, True, grid_cells, cell_capacity)
 
 
-def radius_graph(x, r, k, loop=False, alive=None, table_size=None, cell_capacity=32):
+def radius_graph(x, r, k, loop=False, alive=None, table_size=None,
+                 cell_capacity=32, grid_cells=32):
     """All-pairs fixed-radius neighbors of ``x`` with itself.
 
     Equivalent of ``torch_cluster.radius_graph(x, r, loop=loop,
     max_num_neighbors=k)`` (gm_dynamics.py:1081) as a padded (N, K) list.
     With ``loop=True`` the self-edge is guaranteed present (distance 0 sorts
-    first), matching the reference's use for density sums.
-    """
+    first), matching the reference's use for density sums. See
+    :func:`radius_query` for ``table_size``/``grid_cells``."""
     n = x.shape[0]
     if alive is None:
         alive = jnp.ones((n,), bool)
-    ts = table_size or _next_pow2(2 * n)
     self_idx = jnp.arange(n, dtype=jnp.int32)
-    return _radius_impl(x, x, alive, alive, self_idx, jnp.asarray(r, x.dtype), k, loop, ts, cell_capacity)
+    return _radius_impl(x, x, alive, alive, self_idx, jnp.asarray(r, x.dtype),
+                        k, loop, grid_cells, cell_capacity)
