@@ -121,7 +121,8 @@ def main():
     from fluidnexus_tpu.sim.state import make_particle_state
     from fluidnexus_tpu.pipelines.train_physical_particle import solver_tick
 
-    pparams = PBFParams(h=2.0, p0=1.5, k=3.0, secs=0.033)
+    pparams = PBFParams(h=2.0, p0=1.5, k=3.0, secs=0.033,
+                        dense_max_cells=2048, dense_cell_capacity=128)
     px = rng.uniform(-8, 8, (28000, 3)).astype(np.float32) + np.array([32.6, 10, -30], np.float32)
     pstate = make_particle_state(32768, jnp.asarray(px), init_velocity_y=50.0)
 

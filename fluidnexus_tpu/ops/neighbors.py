@@ -135,6 +135,122 @@ def _radius_impl(x, y, alive_x, alive_y, self_idx, r, k, include_self, grid,
     return NeighborList(idx=jnp.where(msk, idx, 0), mask=msk, overflow=overflow)
 
 
+class DenseGrid(NamedTuple):
+    """Compacted cell-bucket tables for dense pair interactions.
+
+    Unlike the padded (N, K) lists above, this keeps points in CELL-MAJOR
+    bucket layout so fixed-radius pair sums become batched (M, M) blocks —
+    MXU matmuls + VPU elementwise — with no per-pair gather, sort, or top-K
+    in the consumer (see sim/pbf_dense.py). Occupied cells are compacted to
+    ``C = max_cells`` rows (row C is an all-invalid sentinel).
+
+    Coordinates are stored RELATIVE to each point's own cell corner, so
+    pair-block distances stay in [0, ~2r] where f32 is exact; a neighbor
+    block at cell offset ``o`` is shifted by ``o * r`` (see consumer).
+    """
+    bidx: jnp.ndarray      # (C+1, M) int32 slot -> original point id (-1 pad)
+    bxyz: jnp.ndarray      # (C+1, M, 3) cell-relative slot coords (0 pad)
+    bmask: jnp.ndarray     # (C+1, M) bool slot validity
+    nbr: jnp.ndarray       # (C, 27) int32 compacted neighbor-cell row (C = none)
+    prow: jnp.ndarray      # (N,) int32 point -> compacted cell row (C = dropped)
+    pcol: jnp.ndarray      # (N,) int32 point -> slot column (0 where dropped)
+    overflow: jnp.ndarray  # () int32 points dropped (full cells + cell-cap)
+
+    @property
+    def max_cells(self):
+        return self.nbr.shape[0]
+
+    @property
+    def capacity(self):
+        return self.bidx.shape[1]
+
+
+_GRID_SENT = jnp.int32(1 << 30)   # > any packed 10-bit-per-axis cell id
+
+
+@functools.partial(jax.jit, static_argnames=("max_cells", "capacity"))
+def build_dense_grid(x, r, alive, max_cells, capacity):
+    """Bin points into compacted dense-grid buckets (see :class:`DenseGrid`).
+
+    Cells have edge ``r`` inside a 1024^3 box anchored at the live-point
+    minimum; coordinates beyond the box clip into boundary cells (their pairs
+    are still distance-masked — only capacity is wasted). The build is
+    sort + searchsorted + gathers (one 1-D argsort of N; the only scatters
+    are the two unique-index (N,) point->slot maps).
+    """
+    n = x.shape[0]
+    C, M = max_cells, capacity
+    big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
+    lo = jnp.min(jnp.where(alive[:, None], x, big), axis=0)
+    origin = jnp.floor(lo / r).astype(jnp.int32)
+    cc = jnp.clip(jnp.floor(x / r).astype(jnp.int32) - origin, 0, 1023)
+    cid = cc[:, 0] + (cc[:, 1] << 10) + (cc[:, 2] << 20)
+    cid = jnp.where(alive, cid, _GRID_SENT)
+
+    order = jnp.argsort(cid).astype(jnp.int32)
+    cids = cid[order]
+    xs = x[order]
+    first = jnp.searchsorted(cids, cids, side="left").astype(jnp.int32)
+    rank = jnp.arange(n, dtype=jnp.int32) - first
+    live = cids < _GRID_SENT
+    newcell = (rank == 0) & live
+    crank_raw = jnp.cumsum(newcell.astype(jnp.int32)) - 1
+    # monotone compacted row per sorted pos (C once past the cap / dead tail)
+    crank = jnp.where(live & (crank_raw < C), crank_raw, C)
+
+    starts = jnp.searchsorted(crank, jnp.arange(C + 1, dtype=jnp.int32),
+                              side="left").astype(jnp.int32)
+    npts = starts[1:] - starts[:-1]
+    u_valid = npts > 0
+    ucid = jnp.where(u_valid, cids[jnp.minimum(starts[:-1], n - 1)], _GRID_SENT)
+
+    posg = jnp.minimum(starts[:-1, None] + jnp.arange(M, dtype=jnp.int32)[None, :],
+                       n - 1)
+    slotv = jnp.arange(M, dtype=jnp.int32)[None, :] < jnp.minimum(npts, M)[:, None]
+    bidx = jnp.where(slotv, order[posg], -1)
+    ux = ucid & 1023
+    uy = (ucid >> 10) & 1023
+    uz = ucid >> 20
+    corner = (jnp.stack([ux, uy, uz], -1) + origin[None, :]).astype(x.dtype) * r
+    bxyz = (xs[posg] - corner[:, None, :]) * slotv[..., None]
+    bidx = jnp.concatenate([bidx, jnp.full((1, M), -1, jnp.int32)], 0)
+    bxyz = jnp.concatenate([bxyz, jnp.zeros((1, M, 3), x.dtype)], 0)
+    bmask = jnp.concatenate([slotv, jnp.zeros((1, M), bool)], 0)
+    overflow = (jnp.sum(jnp.maximum(npts - M, 0))
+                + jnp.sum(live & (crank_raw >= C)))
+
+    off = jnp.asarray(_OFFSETS)                                   # (27, 3)
+    nx = ux[:, None] + off[None, :, 0]
+    ny = uy[:, None] + off[None, :, 1]
+    nz = uz[:, None] + off[None, :, 2]
+    axis_ok = u_valid[:, None] & ((nx >= 0) & (nx < 1024) & (ny >= 0)
+                                  & (ny < 1024) & (nz >= 0) & (nz < 1024))
+    ncid = nx + (ny << 10) + (nz << 20)
+    pos = jnp.searchsorted(ucid, ncid, side="left").astype(jnp.int32)
+    hit = ucid[jnp.minimum(pos, C - 1)] == ncid
+    nbr = jnp.where(axis_ok & hit, jnp.minimum(pos, C - 1), C)
+
+    keep = live & (rank < M) & (crank_raw < C)
+    prow_s = jnp.where(keep, crank, C)
+    pcol_s = jnp.where(keep, jnp.minimum(rank, M - 1), 0)
+    prow = jnp.zeros((n,), jnp.int32).at[order].set(prow_s, unique_indices=True)
+    pcol = jnp.zeros((n,), jnp.int32).at[order].set(pcol_s, unique_indices=True)
+    return DenseGrid(bidx=bidx, bxyz=bxyz, bmask=bmask, nbr=nbr,
+                     prow=prow, pcol=pcol, overflow=overflow)
+
+
+def slot_gather(grid: DenseGrid, f, fill=0.0):
+    """Per-point field -> (C+1, M, ...) slot layout (sentinel row = fill)."""
+    g = jnp.where(grid.bmask.reshape(grid.bmask.shape + (1,) * (f.ndim - 1)),
+                  f[jnp.maximum(grid.bidx, 0)], fill)
+    return g
+
+
+def point_gather(grid: DenseGrid, slot_field):
+    """(C+1, M, ...) slot field -> per-point (N, ...) (dropped points -> row C)."""
+    return slot_field[grid.prow, grid.pcol]
+
+
 def radius_query(x, y, r, k, alive_x=None, alive_y=None, table_size=None,
                  cell_capacity=32, grid_cells=32):
     """Neighbors of each query ``y`` among data points ``x`` within radius ``r``.

@@ -32,6 +32,7 @@ from fluidnexus_tpu.data.cameras import Camera
 from fluidnexus_tpu.data.scene import cameras_by_time, read_scene
 from fluidnexus_tpu.ops.neighbors import radius_graph
 from fluidnexus_tpu.ops.rasterizer import RasterizerConfig
+from fluidnexus_tpu.sim.pbf_dense import project_gas_constraints_dense
 from fluidnexus_tpu.sim.pbf import (
     PBFParams, confirm_guess, density_ratio_at, guess_from_nn, guess_hidden,
     project_gas_constraints, remove_invalid, splat_velocity_to_points, visual_xyz_from_nn,
@@ -69,15 +70,23 @@ def distance_penalty(positions, alive, threshold, k: int = 32):
 
 
 def solver_tick(state: ParticleState, params: PBFParams, solver_iterations: int,
-                use_wind: bool, stable: bool = False):
+                use_wind: bool, stable: bool = False, dense: bool = True):
     """One simulation tick exactly as the reference schedules it
     (train_physical_particle.py:286-298): guess, counts = solver_iterations
-    up-front (NOT incremental — :292-293), then N Jacobi projections."""
+    up-front (NOT incremental — :292-293), then N Jacobi projections.
+
+    ``dense=True`` (default) runs the projections through the cell-pair MXU
+    path (sim/pbf_dense.py — exact over all in-radius pairs, no knn_k
+    truncation); ``dense=False`` keeps the padded-list path with the
+    reference's arbitrary-first truncation."""
     state = guess_hidden(state, params, stable=stable, use_wind=use_wind)
     state = state._replace(counts=jnp.full_like(state.counts, float(solver_iterations)))
 
     def body(st, _):
-        st, diag = project_gas_constraints(st, params)
+        if dense:
+            st, diag = project_gas_constraints_dense(st, params)
+        else:
+            st, diag = project_gas_constraints(st, params)
         return st, diag
 
     state, diags = jax.lax.scan(body, state, None, length=solver_iterations)

@@ -53,6 +53,13 @@ class PBFParams:
     dq_p: float = 0.25                   # ref DQ_P (s_corr ref distance)
     cell_capacity: int = 32
     table_size: Optional[int] = None
+    # dense cell-pair solver path (sim/pbf_dense.py): static caps for the
+    # compacted grid — compacted occupied cells and points per cell. Size for
+    # the workload (overflow is counted in diagnostics): defaults fit a
+    # reference-scale plume at h=0.625; the 28k/h=2.0 bench passes
+    # (2048, 128).
+    dense_max_cells: int = 4096
+    dense_cell_capacity: int = 32
 
     @property
     def h2(self):
@@ -202,13 +209,20 @@ def project_gas_constraints(state: ParticleState, params: PBFParams,
 
 
 def solver_loop(state: ParticleState, params: PBFParams, iterations: int,
-                rigid: Optional["RigidBody"] = None):
+                rigid: Optional["RigidBody"] = None, dense: bool = True):
     """N Jacobi iterations with the reference's counts schedule (the train
     loop calls update_solver_counts after each projection —
-    train_physical_particle.py:292-298). lax.scan-based."""
+    train_physical_particle.py:292-298). lax.scan-based. ``dense`` selects
+    the cell-pair MXU projection (see sim/pbf_dense.py) over the padded-list
+    path."""
+    if dense:
+        from fluidnexus_tpu.sim.pbf_dense import project_gas_constraints_dense
 
     def body(st, _):
-        st, diag = project_gas_constraints(st, params)
+        if dense:
+            st, diag = project_gas_constraints_dense(st, params)
+        else:
+            st, diag = project_gas_constraints(st, params)
         if rigid is not None:
             st = project_rigid_constraints(st, rigid, params)
         st = st._replace(counts=st.counts + 1.0)

@@ -1,0 +1,114 @@
+"""Dense cell-pair projection vs the padded-list path.
+
+With generous caps and k >= all in-radius neighbors the two paths compute the
+same math (reference gm_dynamics.py:1076-1184) over the same edge set, so
+every output and diagnostic must agree to f32 tolerance.
+"""
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fluidnexus_tpu.ops.neighbors import build_dense_grid, point_gather, slot_gather
+from fluidnexus_tpu.sim.pbf import PBFParams, project_gas_constraints
+from fluidnexus_tpu.sim.pbf_dense import project_gas_constraints_dense
+from fluidnexus_tpu.sim.state import make_particle_state
+
+
+def _mk_state(n_live, capacity, seed=0, center=(32.0, 10.0, -30.0), spread=2.0):
+    rng = np.random.default_rng(seed)
+    pts = (rng.uniform(-spread, spread, (n_live, 3)).astype(np.float32)
+           + np.asarray(center, np.float32))
+    st = make_particle_state(capacity, jnp.asarray(pts), init_velocity_y=10.0)
+    st = st._replace(
+        estimate_xyz=st.xyz + 0.01 * rng.standard_normal((capacity, 3)).astype(np.float32),
+        velocity=jnp.asarray(rng.standard_normal((capacity, 3)).astype(np.float32)),
+        counts=jnp.full((capacity,), 3.0),
+    )
+    return st
+
+
+def test_dense_grid_roundtrip():
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0, 5, (300, 3)).astype(np.float32)
+    alive = jnp.arange(300) < 250
+    grid = build_dense_grid(jnp.asarray(x), 0.7, alive, 256, 64)
+    assert int(grid.overflow) == 0
+    # every live point occupies exactly one slot; bidx/bmask consistent
+    bidx = np.asarray(grid.bidx)
+    bmask = np.asarray(grid.bmask)
+    live_ids = sorted(bidx[bmask].tolist())
+    assert live_ids == list(range(250))
+    # point->slot maps invert the buckets
+    f = jnp.arange(300, dtype=jnp.float32) * 2.0
+    slots = slot_gather(grid, f)
+    back = point_gather(grid, slots)
+    np.testing.assert_array_equal(np.asarray(back)[:250], np.asarray(f)[:250])
+    # dead points map to the sentinel row
+    assert np.all(np.asarray(grid.prow)[250:] == 256)
+
+
+def test_dense_grid_neighbor_table():
+    rng = np.random.default_rng(2)
+    x = rng.uniform(0, 4, (200, 3)).astype(np.float32)
+    alive = jnp.ones((200,), bool)
+    r = 0.9
+    grid = build_dense_grid(jnp.asarray(x), r, alive, 128, 64)
+    cc = np.floor(x / r).astype(np.int64)
+    cc -= cc.min(0)
+    # brute-force cell adjacency in original coords
+    bidx = np.asarray(grid.bidx)[:-1]
+    bmask = np.asarray(grid.bmask)[:-1]
+    nbr = np.asarray(grid.nbr)
+    cell_of = {}
+    for u in range(bidx.shape[0]):
+        for m in range(bidx.shape[1]):
+            if bmask[u, m]:
+                cell_of[u] = tuple(cc[bidx[u, m]])
+                break
+    for u, cu in cell_of.items():
+        got = {cell_of[v] for v in nbr[u] if v in cell_of}
+        expect = {cv for cv in cell_of.values()
+                  if max(abs(np.array(cv) - np.array(cu))) <= 1}
+        assert got == expect
+
+
+@pytest.mark.parametrize("seed,spread", [(0, 2.0), (3, 4.0)])
+def test_dense_projection_matches_padded(seed, spread):
+    params = PBFParams(h=1.0, p0=1.5, k=3.0, secs=0.033, knn_k=512,
+                       cell_capacity=64, dense_max_cells=512,
+                       dense_cell_capacity=64)
+    st = _mk_state(400, 512, seed=seed, spread=spread)
+    ref_st, ref_d = project_gas_constraints(st, params)
+    got_st, got_d = project_gas_constraints_dense(st, params)
+    assert int(got_d["overflow"]) == 0 and int(ref_d["overflow"]) == 0
+    np.testing.assert_allclose(np.asarray(got_st.estimate_xyz),
+                               np.asarray(ref_st.estimate_xyz),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_st.force),
+                               np.asarray(ref_st.force), rtol=2e-4, atol=2e-4)
+    for key in ref_d:
+        if key == "overflow":
+            continue
+        np.testing.assert_allclose(np.asarray(got_d[key]), np.asarray(ref_d[key]),
+                                   rtol=5e-4, atol=5e-4, err_msg=key)
+
+
+def test_dense_projection_dead_points_inert():
+    params = PBFParams(h=1.0, knn_k=512, cell_capacity=64,
+                       dense_max_cells=256, dense_cell_capacity=64)
+    st = _mk_state(100, 160, seed=5)
+    out, _ = project_gas_constraints_dense(st, params)
+    dead = np.asarray(~st.alive)
+    np.testing.assert_array_equal(np.asarray(out.estimate_xyz)[dead],
+                                  np.asarray(st.estimate_xyz)[dead])
+    np.testing.assert_array_equal(np.asarray(out.force)[dead], 0.0)
+
+
+def test_dense_projection_overflow_counted():
+    # capacity 4 with ~50 points per cell must report drops, not crash
+    params = PBFParams(h=2.0, dense_max_cells=64, dense_cell_capacity=4)
+    st = _mk_state(200, 256, seed=7, spread=1.5)
+    _, d = project_gas_constraints_dense(st, params)
+    assert int(d["overflow"]) > 0
