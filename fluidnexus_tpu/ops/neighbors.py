@@ -177,11 +177,15 @@ def build_dense_grid(x, r, alive, max_cells, capacity):
     are still distance-masked — only capacity is wasted). The build is
     sort + searchsorted + gathers (one 1-D argsort of N; the only scatters
     are the two unique-index (N,) point->slot maps).
+
+    ``bxyz`` is differentiable w.r.t. ``x`` (cell assignment is
+    piecewise-constant, the stored coords are plain gathers minus corners).
     """
     n = x.shape[0]
     C, M = max_cells, capacity
     big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
-    lo = jnp.min(jnp.where(alive[:, None], x, big), axis=0)
+    lo = jnp.min(jnp.where(alive[:, None], jax.lax.stop_gradient(x), big),
+                 axis=0)
     origin = jnp.floor(lo / r).astype(jnp.int32)
     cc = jnp.clip(jnp.floor(x / r).astype(jnp.int32) - origin, 0, 1023)
     cid = cc[:, 0] + (cc[:, 1] << 10) + (cc[:, 2] << 20)

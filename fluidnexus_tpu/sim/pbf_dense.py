@@ -62,7 +62,8 @@ def _pair_terms(params: PBFParams, xc, mc, xn, mn, self_block, shift):
     pair (i, j) = center slot i x neighbor slot j.
     """
     xo = xn + shift[None, None, :]
-    cross = jnp.einsum("cmd,cnd->cmn", xc, xo, preferred_element_type=jnp.float32)
+    cross = jnp.einsum("cmd,cnd->cmn", xc, xo, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
     d2 = (jnp.sum(xc * xc, -1)[:, :, None]
           + jnp.sum(xo * xo, -1)[:, None, :] - 2.0 * cross)
     d2 = jnp.where(self_block, 0.0, jnp.maximum(d2, 0.0))
@@ -82,7 +83,7 @@ def _pair_terms(params: PBFParams, xc, mc, xn, mn, self_block, shift):
 
 
 def project_gas_constraints_dense(state: ParticleState, params: PBFParams,
-                                  grid: DenseGrid = None):
+                                  grid: DenseGrid = None, backend: str = None):
     """Dense-grid PBF density projection + drag force.
 
     Drop-in for ``pbf.project_gas_constraints`` (same (state, diagnostics)
@@ -90,10 +91,16 @@ def project_gas_constraints_dense(state: ParticleState, params: PBFParams,
     the truncation-semantics difference. ``grid`` may be passed to reuse a
     build; by default the grid is rebuilt from the current estimates exactly
     as the reference re-runs radius_graph each Jacobi iteration.
+
+    ``backend``: 'pallas' (fused VMEM pair blocks + empty-cell skipping,
+    sim/pbf_pallas.py), 'xla' (scan of batched blocks), or None = pallas on
+    TPU, xla elsewhere (interpret-mode pallas is minutes-slow on CPU).
     """
     exyz = state.estimate_xyz
     C = params.dense_max_cells
     M = params.dense_cell_capacity
+    if backend is None:
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if grid is None:
         grid = build_dense_grid(exyz, params.h, state.alive, C, M)
 
@@ -117,19 +124,26 @@ def project_gas_constraints_dense(state: ParticleState, params: PBFParams,
         rs = jnp.sum(cgrad, -1)                               # (C, M)
         sg = sg + rs[..., None] * xc_all - jnp.einsum(
             "cmn,cnd->cmd", cgrad, xn + shift[None, None, :],
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         c2d2 = c2d2 + jnp.sum(cgrad * cgrad * d2, -1)
         nlen = nlen + jnp.sum(in_list, -1).astype(jnp.float32)
         s_p6 = s_p6 + jnp.sum(w_all)
         s_edges = s_edges + jnp.sum(in_list)
         return (pi, sg, c2d2, nlen, s_p6, s_edges), None
 
-    z = jnp.zeros((C, M), jnp.float32)
-    (pi_s, sg_s, c2d2_s, nlen_s, s_p6, s_edges), _ = jax.lax.scan(
-        p1_body,
-        (z, jnp.zeros((C, M, 3), jnp.float32), z, z,
-         jnp.float32(0.0), jnp.int32(0)),
-        (offsets, grid.nbr.T))
+    if backend == "pallas":
+        from fluidnexus_tpu.sim.pbf_pallas import phase1_slots
+        pi_s, sg_s, c2d2_s, nlen_s, s_p6, s_edges = phase1_slots(
+            grid, float(params.h), float(params.epsilon),
+            float(params.poly6_term1), float(params.spiky_grad_term1))
+    else:
+        z = jnp.zeros((C, M), jnp.float32)
+        (pi_s, sg_s, c2d2_s, nlen_s, s_p6, s_edges), _ = jax.lax.scan(
+            p1_body,
+            (z, jnp.zeros((C, M, 3), jnp.float32), z, z,
+             jnp.float32(0.0), jnp.int32(0)),
+            (offsets, grid.nbr.T))
 
     imass_s = slot_gather(grid, state.imass, fill=1.0)[:-1]
     pi_s = pi_s / imass_s
@@ -158,16 +172,24 @@ def project_gas_constraints_dense(state: ParticleState, params: PBFParams,
         rs = jnp.sum(b, -1)
         dsum = dsum + rs[..., None] * xc_all - jnp.einsum(
             "cmn,cnd->cmd", b, xn + shift[None, None, :],
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         mask_ns = in_list & ~self_block
         s_corr = s_corr + jnp.sum(jnp.where(mask_ns, corr, 0.0))
         s_ns = s_ns + jnp.sum(mask_ns)
         return (dsum, s_corr, s_ns), None
 
-    (dsum_s, s_corr, s_ns), _ = jax.lax.scan(
-        p2_body,
-        (jnp.zeros((C, M, 3), jnp.float32), jnp.float32(0.0), jnp.int32(0)),
-        (offsets, grid.nbr.T))
+    if backend == "pallas":
+        from fluidnexus_tpu.sim.pbf_pallas import phase2_slots
+        dsum_s, s_corr, s_ns = phase2_slots(
+            grid, lam_s, float(params.h), float(params.epsilon),
+            float(params.poly6_term1), float(params.spiky_grad_term1),
+            float(params.k_p), float(params.e_p), float(1.0 / denom))
+    else:
+        (dsum_s, s_corr, s_ns), _ = jax.lax.scan(
+            p2_body,
+            (jnp.zeros((C, M, 3), jnp.float32), jnp.float32(0.0), jnp.int32(0)),
+            (offsets, grid.nbr.T))
 
     counts_s = slot_gather(grid, state.counts)[:-1]
     # clamp only guards 0/0 in never-gathered invalid slots (any valid slot

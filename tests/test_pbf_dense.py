@@ -106,6 +106,26 @@ def test_dense_projection_dead_points_inert():
     np.testing.assert_array_equal(np.asarray(out.force)[dead], 0.0)
 
 
+@pytest.mark.slow
+def test_pallas_matches_xla():
+    """Fused pallas pair kernels vs the XLA scan formulation (interpret mode
+    on CPU, ~4 min — slow lane; the compiled path is exercised by the TPU
+    lane + bench)."""
+    params = PBFParams(h=1.0, knn_k=512, dense_max_cells=64,
+                       dense_cell_capacity=32)
+    st = _mk_state(150, 192, seed=9, spread=1.2)
+    a_st, a_d = project_gas_constraints_dense(st, params, backend="xla")
+    b_st, b_d = project_gas_constraints_dense(st, params, backend="pallas")
+    np.testing.assert_allclose(np.asarray(b_st.estimate_xyz),
+                               np.asarray(a_st.estimate_xyz),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b_st.force),
+                               np.asarray(a_st.force), rtol=1e-5, atol=1e-5)
+    for key in a_d:
+        np.testing.assert_allclose(np.asarray(b_d[key]), np.asarray(a_d[key]),
+                                   rtol=1e-4, atol=1e-5, err_msg=key)
+
+
 def test_dense_projection_overflow_counted():
     # capacity 4 with ~50 points per cell must report drops, not crash
     params = PBFParams(h=2.0, dense_max_cells=64, dense_cell_capacity=4)

@@ -36,6 +36,7 @@ print("backend:", jax.default_backend(), jax.devices())
 EOF
 
 run_lane "raster compiled-vs-interpret" python tools/tpu_raster_check.py
+run_lane "PBF dense pallas (compiled)"  python tools/tpu_pbf_check.py
 run_lane "flash attention (real shape)" python tests/test_flash_attention.py
 run_lane "remat HBM budget"             python tests/test_remat.py
 run_lane "5B forward smoke"             python tests/test_5b_shape_smoke.py
