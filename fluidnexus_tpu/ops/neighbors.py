@@ -194,21 +194,30 @@ def build_dense_grid(x, r, alive, max_cells, capacity):
     order = jnp.argsort(cid).astype(jnp.int32)
     cids = cid[order]
     xs = x[order]
-    first = jnp.searchsorted(cids, cids, side="left").astype(jnp.int32)
-    rank = jnp.arange(n, dtype=jnp.int32) - first
+    # first-occurrence index per sorted row: run-head flags + cumulative max
+    # (one lane-parallel scan; searchsorted(cids, cids) lowers to a 19-round
+    # vmapped while of small gathers — device-profiled ~3 ms at N=32k)
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+    head = jnp.concatenate(
+        [jnp.ones((1,), bool), cids[1:] != cids[:-1]])
+    first = jax.lax.cummax(jnp.where(head, iota_n, 0))
+    rank = iota_n - first
     live = cids < _GRID_SENT
     newcell = (rank == 0) & live
     crank_raw = jnp.cumsum(newcell.astype(jnp.int32)) - 1
     # monotone compacted row per sorted pos (C once past the cap / dead tail)
     crank = jnp.where(live & (crank_raw < C), crank_raw, C)
 
-    starts = jnp.searchsorted(crank, jnp.arange(C + 1, dtype=jnp.int32),
-                              side="left").astype(jnp.int32)
-    npts = starts[1:] - starts[:-1]
+    # per-cell counts by dense compare (lane-parallel; a searchsorted here is
+    # a 15-round while of (C,) gathers) + exclusive cumsum for run starts
+    npts = jnp.sum((crank[None, :] == jnp.arange(C, dtype=jnp.int32)[:, None])
+                   .astype(jnp.int32), axis=1)
+    starts0 = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(npts)[:-1]])
     u_valid = npts > 0
-    ucid = jnp.where(u_valid, cids[jnp.minimum(starts[:-1], n - 1)], _GRID_SENT)
+    ucid = jnp.where(u_valid, cids[jnp.minimum(starts0, n - 1)], _GRID_SENT)
 
-    posg = jnp.minimum(starts[:-1, None] + jnp.arange(M, dtype=jnp.int32)[None, :],
+    posg = jnp.minimum(starts0[:, None] + jnp.arange(M, dtype=jnp.int32)[None, :],
                        n - 1)
     slotv = jnp.arange(M, dtype=jnp.int32)[None, :] < jnp.minimum(npts, M)[:, None]
     bidx = jnp.where(slotv, order[posg], -1)
@@ -230,9 +239,14 @@ def build_dense_grid(x, r, alive, max_cells, capacity):
     axis_ok = u_valid[:, None] & ((nx >= 0) & (nx < 1024) & (ny >= 0)
                                   & (ny < 1024) & (nz >= 0) & (nz < 1024))
     ncid = nx + (ny << 10) + (nz << 20)
-    pos = jnp.searchsorted(ucid, ncid, side="left").astype(jnp.int32)
-    hit = ucid[jnp.minimum(pos, C - 1)] == ncid
-    nbr = jnp.where(axis_ok & hit, jnp.minimum(pos, C - 1), C)
+    # dense equality join instead of searchsorted: ucid is tiny (C rows), so
+    # the (C, 27, C) compare streams through the VPU in ~0.3 ms where the
+    # binary search lowers to a 12-round while of (C*27,) gathers (~5 ms).
+    # Cell ids are unique, so max-of-onehot recovers the single hit row.
+    iota_c = jnp.arange(1, C + 1, dtype=jnp.int32)
+    hit_row = jnp.max(jnp.where(ncid[:, :, None] == ucid[None, None, :],
+                                iota_c[None, None, :], 0), axis=-1)
+    nbr = jnp.where(axis_ok & (hit_row > 0), hit_row - 1, C)
 
     keep = live & (rank < M) & (crank_raw < C)
     prow_s = jnp.where(keep, crank, C)

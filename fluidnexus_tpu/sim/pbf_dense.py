@@ -133,10 +133,12 @@ def project_gas_constraints_dense(state: ParticleState, params: PBFParams,
         return (pi, sg, c2d2, nlen, s_p6, s_edges), None
 
     if backend == "pallas":
-        from fluidnexus_tpu.sim.pbf_pallas import phase1_slots
+        from fluidnexus_tpu.sim.pbf_pallas import _gathers, phase1_slots
+        gathered = _gathers(grid)
         pi_s, sg_s, c2d2_s, nlen_s, s_p6, s_edges = phase1_slots(
             grid, float(params.h), float(params.epsilon),
-            float(params.poly6_term1), float(params.spiky_grad_term1))
+            float(params.poly6_term1), float(params.spiky_grad_term1),
+            gathered=gathered)
     else:
         z = jnp.zeros((C, M), jnp.float32)
         (pi_s, sg_s, c2d2_s, nlen_s, s_p6, s_edges), _ = jax.lax.scan(
@@ -184,7 +186,8 @@ def project_gas_constraints_dense(state: ParticleState, params: PBFParams,
         dsum_s, s_corr, s_ns = phase2_slots(
             grid, lam_s, float(params.h), float(params.epsilon),
             float(params.poly6_term1), float(params.spiky_grad_term1),
-            float(params.k_p), float(params.e_p), float(1.0 / denom))
+            float(params.k_p), float(params.e_p), float(1.0 / denom),
+            gathered=gathered)
     else:
         (dsum_s, s_corr, s_ns), _ = jax.lax.scan(
             p2_body,

@@ -36,6 +36,9 @@ from jax.experimental.pallas import tpu as pltpu
 from fluidnexus_tpu.ops.neighbors import _OFFSETS, DenseGrid
 
 CPB = 8           # cells per program (VMEM budget allows 8 at M=128)
+STRIP = 128       # center-row strip: strips past ceil(cnt/STRIP) are skipped
+                  # (slots are front-compacted per cell — neighbors.py slotv),
+                  # so pair work scales with live rows, not the static M cap
 _SELF_J = 13      # index of the (0,0,0) offset in _OFFSETS
 
 
@@ -53,28 +56,18 @@ def _shift31(j, h):
 
 def _phase1_kernel(h, eps, c6, s45, m, cnt_ref, ncnt_ref,
                    xc_ref, mc_ref, xng_ref, mng_ref,
-                   pi_ref, sg_ref, c2_ref, nl_ref, sp6_ref, sedg_ref):
+                   pi_ref, sg_ref, c2_ref, nl_ref):
     h2 = h * h
     pid = pl.program_id(0)
-    eye = (lax.broadcasted_iota(jnp.int32, (m, m), 0)
-           == lax.broadcasted_iota(jnp.int32, (m, m), 1))
     pi_ref[...] = jnp.zeros(pi_ref.shape, pi_ref.dtype)
     sg_ref[...] = jnp.zeros(sg_ref.shape, sg_ref.dtype)
     c2_ref[...] = jnp.zeros(c2_ref.shape, c2_ref.dtype)
     nl_ref[...] = jnp.zeros(nl_ref.shape, nl_ref.dtype)
-
-    # the (1,1) scalar sums map every program to the same block, which
-    # persists across the sequential grid — zero once, accumulate after
-    @pl.when(pid == 0)
-    def _():
-        sp6_ref[...] = jnp.zeros(sp6_ref.shape, sp6_ref.dtype)
-        sedg_ref[...] = jnp.zeros(sedg_ref.shape, sedg_ref.dtype)
+    # global sums (s_p6, s_edges) are recovered in XLA from the zeroed
+    # per-row outputs: dead rows/cells contribute exact zeros here
 
     for ci in range(CPB):
         cell = pid * CPB + ci
-        xc = xc_ref[ci]                                    # (M, 3)
-        mcf = mc_ref[ci]                                   # (M, 1)
-        xc2 = jnp.sum(xc * xc, axis=1, keepdims=True)      # (M, 1)
 
         @pl.when(cnt_ref[cell] > 0)
         def _():
@@ -85,57 +78,71 @@ def _phase1_kernel(h, eps, c6, s45, m, cnt_ref, ncnt_ref,
                 def _():
                     xs = xng_ref[ci, 3 * j:3 * j + 3] + shift          # (3, M)
                     mn = mng_ref[ci, j].reshape(1, m)
-                    cross = lax.dot_general(
-                        xc, xs, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=lax.Precision.HIGHEST)             # (M, M)
-                    xn2 = jnp.sum(xs * xs, axis=0, keepdims=True)       # (1, M)
-                    d2 = jnp.maximum(xc2 + xn2 - 2.0 * cross, 0.0)
-                    if j == _SELF_J:
-                        d2 = jnp.where(eye, 0.0, d2)
-                    pm = mcf * mn
-                    t2 = h2 - d2
-                    w = jnp.where(d2 < h2, c6 * t2 * t2 * t2, 0.0) * pm
-                    inv = lax.rsqrt(d2 + eps)
-                    rlen = (d2 + eps) * inv
-                    hr = h - rlen
-                    cg = jnp.where(rlen < h, (-s45) * hr * hr * inv, 0.0) * pm
-                    if j == _SELF_J:
-                        cg = jnp.where(eye, 0.0, cg)
-                    inl = pm * (d2 <= h2)
-                    pi_ref[ci] += jnp.sum(w, axis=1, keepdims=True)
-                    sg_ref[ci] += (jnp.sum(cg, axis=1, keepdims=True) * xc
-                                   - lax.dot_general(
-                                       cg, xs, (((1,), (1,)), ((), ())),
-                                       preferred_element_type=jnp.float32,
-                        precision=lax.Precision.HIGHEST))
-                    c2_ref[ci] += jnp.sum(cg * cg * d2, axis=1, keepdims=True)
-                    nl_ref[ci] += jnp.sum(inl, axis=1, keepdims=True)
-                    sp6_ref[...] += jnp.sum(w, axis=(0, 1), keepdims=True)
-                    sedg_ref[...] += jnp.sum(inl, axis=(0, 1), keepdims=True)
+                    for s in range(m // STRIP):
+                        sl = slice(s * STRIP, (s + 1) * STRIP)
+
+                        @pl.when(cnt_ref[cell] > s * STRIP)
+                        def _():
+                            xc = xc_ref[ci, sl]                # (S, 3)
+                            mcf = mc_ref[ci, sl]               # (S, 1)
+                            # direct subtract-square pair distances: exact
+                            # f32 on the VPU; the |xi|^2+|xj|^2-2xi.xj MXU
+                            # route needs 6-pass HIGHEST matmuls (Mosaic has
+                            # no 3-pass tier) and benched slower
+                            dx0 = xc[:, 0:1] - xs[0:1, :]
+                            dx1 = xc[:, 1:2] - xs[1:2, :]
+                            dx2 = xc[:, 2:3] - xs[2:3, :]
+                            d2 = dx0 * dx0 + dx1 * dx1 + dx2 * dx2
+                            if j == _SELF_J:
+                                seye = (lax.broadcasted_iota(
+                                    jnp.int32, (STRIP, m), 0) + s * STRIP
+                                    == lax.broadcasted_iota(
+                                        jnp.int32, (STRIP, m), 1))
+                                d2 = jnp.where(seye, 0.0, d2)
+                            pm = mcf * mn
+                            t2 = h2 - d2
+                            w = jnp.where(d2 < h2, c6 * t2 * t2 * t2, 0.0) * pm
+                            inv = lax.rsqrt(d2 + eps)
+                            rlen = (d2 + eps) * inv
+                            hr = h - rlen
+                            cg = jnp.where(rlen < h, (-s45) * hr * hr * inv,
+                                           0.0) * pm
+                            if j == _SELF_J:
+                                cg = jnp.where(seye, 0.0, cg)
+                            inl = pm * (d2 <= h2)
+                            # ALL row-sums ride the MXU as one stacked
+                            # (4S, M) @ (M, 4) against [ones | xs^T]: lane
+                            # reductions (jnp.sum axis=1) are cross-lane
+                            # shuffle trees on the VPU — the saturated unit
+                            stack = jnp.concatenate(
+                                [w, cg, cg * cg * d2, inl], axis=0)
+                            ones_col = jnp.ones((m, 1), jnp.float32)
+                            rhs = jnp.concatenate(
+                                [ones_col, xs.T], axis=1)        # (M, 4)
+                            rs = lax.dot_general(
+                                stack, rhs, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=lax.Precision.HIGHEST)  # (4S, 4)
+                            S = STRIP
+                            pi_ref[ci, sl] += rs[0:S, 0:1]
+                            sg_ref[ci, sl] += (rs[S:2 * S, 0:1] * xc
+                                               - rs[S:2 * S, 1:4])
+                            c2_ref[ci, sl] += rs[2 * S:3 * S, 0:1]
+                            nl_ref[ci, sl] += rs[3 * S:4 * S, 0:1]
 
 
 def _phase2_kernel(h, eps, c6, s45, k_p, e_p, inv_denom, m, cnt_ref, ncnt_ref,
                    xc_ref, mc_ref, lamc_ref, xng_ref, mng_ref, lng_ref,
-                   ds_ref, scorr_ref, sns_ref):
+                   ds_ref, cr_ref, nsr_ref):
     h2 = h * h
     pid = pl.program_id(0)
-    eye = (lax.broadcasted_iota(jnp.int32, (m, m), 0)
-           == lax.broadcasted_iota(jnp.int32, (m, m), 1))
     ds_ref[...] = jnp.zeros(ds_ref.shape, ds_ref.dtype)
-
-    @pl.when(pid == 0)
-    def _():
-        scorr_ref[...] = jnp.zeros(scorr_ref.shape, scorr_ref.dtype)
-        sns_ref[...] = jnp.zeros(sns_ref.shape, sns_ref.dtype)
+    cr_ref[...] = jnp.zeros(cr_ref.shape, cr_ref.dtype)
+    nsr_ref[...] = jnp.zeros(nsr_ref.shape, nsr_ref.dtype)
     int_pow = float(e_p).is_integer() and 0 < int(e_p) <= 8
 
     for ci in range(CPB):
         cell = pid * CPB + ci
-        xc = xc_ref[ci]
-        mcf = mc_ref[ci]
-        lamc = lamc_ref[ci]                                # (M, 1)
-        xc2 = jnp.sum(xc * xc, axis=1, keepdims=True)
 
         @pl.when(cnt_ref[cell] > 0)
         def _():
@@ -147,45 +154,65 @@ def _phase2_kernel(h, eps, c6, s45, k_p, e_p, inv_denom, m, cnt_ref, ncnt_ref,
                     xs = xng_ref[ci, 3 * j:3 * j + 3] + shift
                     mn = mng_ref[ci, j].reshape(1, m)
                     ln = lng_ref[ci, j].reshape(1, m)
-                    cross = lax.dot_general(
-                        xc, xs, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=lax.Precision.HIGHEST)
-                    xn2 = jnp.sum(xs * xs, axis=0, keepdims=True)
-                    d2 = jnp.maximum(xc2 + xn2 - 2.0 * cross, 0.0)
-                    if j == _SELF_J:
-                        d2 = jnp.where(eye, 0.0, d2)
-                    pm = mcf * mn
-                    t2 = h2 - d2
-                    w = jnp.where(d2 < h2, c6 * t2 * t2 * t2, 0.0) * pm
-                    if j == _SELF_J:
-                        w = jnp.where(eye, 0.0, w)
-                    inv = lax.rsqrt(d2 + eps)
-                    rlen = (d2 + eps) * inv
-                    hr = h - rlen
-                    cg = jnp.where(rlen < h, (-s45) * hr * hr * inv, 0.0) * pm
-                    if j == _SELF_J:
-                        cg = jnp.where(eye, 0.0, cg)
-                    wd = w * inv_denom
-                    if int_pow:
-                        acc = wd
-                        for _ in range(int(e_p) - 1):
-                            acc = acc * wd
-                        corr = -k_p * acc
-                    else:
-                        corr = -k_p * jnp.power(wd, e_p)
-                    a = lamc + ln + corr
-                    b = a * cg
-                    ds_ref[ci] += (jnp.sum(b, axis=1, keepdims=True) * xc
-                                   - lax.dot_general(
-                                       b, xs, (((1,), (1,)), ((), ())),
-                                       preferred_element_type=jnp.float32,
-                        precision=lax.Precision.HIGHEST))
-                    mask_ns = pm * (d2 <= h2)
-                    if j == _SELF_J:
-                        mask_ns = jnp.where(eye, 0.0, mask_ns)
-                    scorr_ref[...] += jnp.sum(corr * mask_ns, axis=(0, 1), keepdims=True)
-                    sns_ref[...] += jnp.sum(mask_ns, axis=(0, 1), keepdims=True)
+                    for s in range(m // STRIP):
+                        sl = slice(s * STRIP, (s + 1) * STRIP)
+
+                        @pl.when(cnt_ref[cell] > s * STRIP)
+                        def _():
+                            xc = xc_ref[ci, sl]
+                            mcf = mc_ref[ci, sl]
+                            lamc = lamc_ref[ci, sl]        # (S, 1)
+                            # VPU subtract-square d2 — see _phase1_kernel
+                            dx0 = xc[:, 0:1] - xs[0:1, :]
+                            dx1 = xc[:, 1:2] - xs[1:2, :]
+                            dx2 = xc[:, 2:3] - xs[2:3, :]
+                            d2 = dx0 * dx0 + dx1 * dx1 + dx2 * dx2
+                            if j == _SELF_J:
+                                seye = (lax.broadcasted_iota(
+                                    jnp.int32, (STRIP, m), 0) + s * STRIP
+                                    == lax.broadcasted_iota(
+                                        jnp.int32, (STRIP, m), 1))
+                                d2 = jnp.where(seye, 0.0, d2)
+                            pm = mcf * mn
+                            t2 = h2 - d2
+                            w = jnp.where(d2 < h2, c6 * t2 * t2 * t2, 0.0) * pm
+                            if j == _SELF_J:
+                                w = jnp.where(seye, 0.0, w)
+                            inv = lax.rsqrt(d2 + eps)
+                            rlen = (d2 + eps) * inv
+                            hr = h - rlen
+                            cg = jnp.where(rlen < h, (-s45) * hr * hr * inv,
+                                           0.0) * pm
+                            if j == _SELF_J:
+                                cg = jnp.where(seye, 0.0, cg)
+                            wd = w * inv_denom
+                            if int_pow:
+                                acc = wd
+                                for _ in range(int(e_p) - 1):
+                                    acc = acc * wd
+                                corr = -k_p * acc
+                            else:
+                                corr = -k_p * jnp.power(wd, e_p)
+                            a = lamc + ln + corr
+                            b = a * cg
+                            mask_ns = pm * (d2 <= h2)
+                            if j == _SELF_J:
+                                mask_ns = jnp.where(seye, 0.0, mask_ns)
+                            # stacked MXU row-sums (see _phase1_kernel)
+                            stack = jnp.concatenate(
+                                [b, corr * mask_ns, mask_ns], axis=0)
+                            ones_col = jnp.ones((m, 1), jnp.float32)
+                            rhs = jnp.concatenate(
+                                [ones_col, xs.T], axis=1)        # (M, 4)
+                            rs = lax.dot_general(
+                                stack, rhs, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=lax.Precision.HIGHEST)  # (3S, 4)
+                            S = STRIP
+                            ds_ref[ci, sl] += (rs[0:S, 0:1] * xc
+                                               - rs[0:S, 1:4])
+                            cr_ref[ci, sl] += rs[S:2 * S, 0:1]
+                            nsr_ref[ci, sl] += rs[2 * S:3 * S, 0:1]
 
 
 def _gathers(grid: DenseGrid):
@@ -211,10 +238,13 @@ def _pad_c(arrs, c):
 
 
 @functools.partial(jax.jit, static_argnames=("h", "eps", "c6", "s45"))
-def phase1_slots(grid: DenseGrid, h, eps, c6, s45):
-    """Per-slot density/gradient sums: (pi_raw, sg, c2d2, nlen, s_p6, s_edges)."""
+def phase1_slots(grid: DenseGrid, h, eps, c6, s45, gathered=None):
+    """Per-slot density/gradient sums: (pi_raw, sg, c2d2, nlen, s_p6, s_edges).
+
+    ``gathered`` optionally reuses a ``_gathers(grid)`` result (the two
+    phases of one projection share it — saves ~5 ms/projection)."""
     c, m = grid.nbr.shape[0], grid.capacity
-    cnt, ncnt, xng, mng = _gathers(grid)
+    cnt, ncnt, xng, mng = _gathers(grid) if gathered is None else gathered
     xc = grid.bxyz[:-1]
     mc = grid.bmask[:-1].astype(jnp.float32)[..., None]
     (xc, mc, xng, mng), cp = _pad_c([xc, mc, xng, mng], c)
@@ -225,37 +255,35 @@ def phase1_slots(grid: DenseGrid, h, eps, c6, s45):
                              float(s45), m)
     blk = lambda *s: pl.BlockSpec((CPB,) + s, lambda i, *_: (i,) + (0,) * len(s),
                                   memory_space=pltpu.VMEM)
-    sblk = pl.BlockSpec((1, 1), lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(g,),
             in_specs=[blk(m, 3), blk(m, 1), blk(81, m), blk(27, m)],
-            out_specs=(blk(m, 1), blk(m, 3), blk(m, 1), blk(m, 1), sblk, sblk),
+            out_specs=(blk(m, 1), blk(m, 3), blk(m, 1), blk(m, 1)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((cp, m, 1), jnp.float32),
             jax.ShapeDtypeStruct((cp, m, 3), jnp.float32),
             jax.ShapeDtypeStruct((cp, m, 1), jnp.float32),
             jax.ShapeDtypeStruct((cp, m, 1), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ),
         interpret=_interpret(),
     )(cnt, ncnt, xc, mc, xng, mng)
-    pi, sg, c2d2, nlen, sp6, sedg = out
+    pi, sg, c2d2, nlen = out
     return (pi[:c, :, 0], sg[:c], c2d2[:c, :, 0], nlen[:c, :, 0],
-            sp6[0, 0], sedg[0, 0])
+            jnp.sum(pi), jnp.sum(nlen))
 
 
 @functools.partial(jax.jit,
                    static_argnames=("h", "eps", "c6", "s45", "k_p", "e_p",
                                    "inv_denom"))
-def phase2_slots(grid: DenseGrid, lam_s, h, eps, c6, s45, k_p, e_p, inv_denom):
+def phase2_slots(grid: DenseGrid, lam_s, h, eps, c6, s45, k_p, e_p, inv_denom,
+                 gathered=None):
     """Per-slot delta sums: (dsum (C,M,3), s_corr, s_ns). lam_s: (C, M)."""
     c, m = grid.nbr.shape[0], grid.capacity
-    cnt, ncnt, xng, mng = _gathers(grid)
+    cnt, ncnt, xng, mng = _gathers(grid) if gathered is None else gathered
     lam_pad = jnp.concatenate([lam_s, jnp.zeros((1, m), jnp.float32)], 0)
     lng = lam_pad[grid.nbr]                                # (C, 27, M)
     xc = grid.bxyz[:-1]
@@ -271,7 +299,6 @@ def phase2_slots(grid: DenseGrid, lam_s, h, eps, c6, s45, k_p, e_p, inv_denom):
                              float(inv_denom), m)
     blk = lambda *s: pl.BlockSpec((CPB,) + s, lambda i, *_: (i,) + (0,) * len(s),
                                   memory_space=pltpu.VMEM)
-    sblk = pl.BlockSpec((1, 1), lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -279,14 +306,14 @@ def phase2_slots(grid: DenseGrid, lam_s, h, eps, c6, s45, k_p, e_p, inv_denom):
             grid=(g,),
             in_specs=[blk(m, 3), blk(m, 1), blk(m, 1), blk(81, m), blk(27, m),
                       blk(27, m)],
-            out_specs=(blk(m, 3), sblk, sblk),
+            out_specs=(blk(m, 3), blk(m, 1), blk(m, 1)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((cp, m, 3), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((cp, m, 1), jnp.float32),
+            jax.ShapeDtypeStruct((cp, m, 1), jnp.float32),
         ),
         interpret=_interpret(),
     )(cnt, ncnt, xc, mc, lamc, xng, mng, lng)
-    ds, scorr, sns = out
-    return ds[:c], scorr[0, 0], sns[0, 0]
+    ds, cr, nsr = out
+    return ds[:c], jnp.sum(cr), jnp.sum(nsr)
