@@ -57,6 +57,8 @@ class RasterizerConfig:
     tight_cull: bool = True   # drop (gaussian,tile) slots that cannot reach
                               # alpha 1/255 anywhere in the tile (output-exact;
                               # see _build_tile_lists)
+    seg_adjoint: bool = True  # segmented-scan gather adjoint instead of XLA's
+                              # sorted scatter-add (see _gather_rows_segsum)
 
     def resolved_backend(self) -> str:
         if self.backend != "auto":
@@ -329,6 +331,63 @@ def _build_tile_lists(proj: Projected, cfg: RasterizerConfig, tiles_x: int, tile
     return tile_gauss, live
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _gather_rows_segsum(packed, idx, idx_bwd, max_run):
+    """``packed[idx]`` with a hand-rolled reverse pass.
+
+    XLA's adjoint of a row gather is a sorted scatter-add whose segment
+    combine walks rows serially (device-profiled 2.6 ms for (196k, 10) ->
+    (32k, 10) while touching 1.3 MB — ~200x off memory roofline; row
+    gathers of the same shape run at 0.25 ms). This adjoint stays dense:
+
+      sort (id, position) -> gather cotangent rows into id order ->
+      segmented inclusive scan by doubling (every op full-lane (L, F)) ->
+      one unique-row gather of each id's run tail.
+
+    The scan window is 2^ceil(log2(max_run)), so it is exact only when no id
+    repeats more than ``max_run`` times. ``idx_bwd`` guarantees that: dead
+    slots (tile-window spillover can replicate one Gaussian across many
+    windows) carry the out-of-range sentinel ``n``, leaving each real id
+    with at most dup_x*dup_y live rows — their cotangents are zero anyway
+    (masked by ``live`` downstream), exactly as in the scatter adjoint.
+    """
+    del idx_bwd, max_run
+    return packed[idx]
+
+
+def _gather_rows_segsum_fwd(packed, idx, idx_bwd, max_run):
+    return packed[idx], (idx_bwd, packed.shape[0])
+
+
+def _gather_rows_segsum_bwd(max_run, res, g):
+    idx_bwd, n = res
+    flat = idx_bwd.reshape(-1)
+    el = g.shape[-1]
+    gf = g.reshape(-1, el)
+    length = flat.shape[0]
+    sid, pos = jax.lax.sort(
+        (flat, jnp.arange(length, dtype=jnp.int32)), num_keys=1, is_stable=True)
+    gs = gf[pos]
+    # doubling segmented scan: after steps k=1,2,..,K the row i holds the sum
+    # of its run's last min(2K, prefix_len) rows — runs are <= max_run, so the
+    # run tail holds the full run sum once 2K >= max_run
+    k = 1
+    while k < max_run:
+        same = sid[k:] == sid[:-k]
+        gs = jnp.concatenate(
+            [gs[:k], gs[k:] + jnp.where(same[:, None], gs[:-k], 0.0)], axis=0)
+        k *= 2
+    gids = jnp.arange(n, dtype=jnp.int32)
+    tp = jnp.searchsorted(sid, gids, side="right").astype(jnp.int32) - 1
+    tpc = jnp.maximum(tp, 0)
+    found = (tp >= 0) & (sid[tpc] == gids)
+    out = jnp.where(found[:, None], gs[tpc], 0.0)
+    return out, None, None
+
+
+_gather_rows_segsum.defvjp(_gather_rows_segsum_fwd, _gather_rows_segsum_bwd)
+
+
 # Adjoint experiments, all device-benched at the 32k/960x544 workload and
 # all LOSING to XLA's default row-wise sorted-scatter adjoint (89.6 fps):
 #   - inverse-permutation gather + dense 9:1 reduce: 63 fps (arbitrary-order
@@ -472,7 +531,13 @@ def rasterize(
         packed = jnp.concatenate(
             [proj.xy, proj.conic, opacities[:, None], colors,
              jax.lax.stop_gradient(proj.depth)[:, None]], axis=1)
-        packed_t = packed[tile_gauss]                      # (T, K, 7+C)
+        if cfg.seg_adjoint:
+            n = packed.shape[0]
+            idx_bwd = jnp.where(live, tile_gauss, n)
+            packed_t = _gather_rows_segsum(packed, tile_gauss, idx_bwd,
+                                           cfg.dup_x * cfg.dup_y)
+        else:
+            packed_t = packed[tile_gauss]                  # (T, K, 7+C)
         accum4, t_run3, med3 = composite_tiles_packed(
             packed_t, live.astype(jnp.float32), tiles_x, cfg.tile_x, cfg.tile_y,
         )
