@@ -1,17 +1,28 @@
 """Fused Pallas pair-block kernels for the dense PBF projection.
 
 The XLA formulation in sim/pbf_dense.py materializes every (C, M, M) pair
-tensor in HBM (device-profiled: ~59 ms/projection at the 28k bench workload,
-~40 GB of block-tensor traffic). These kernels keep each (M, M) block in
-VMEM: per cell, the 27 neighbor-offset blocks are unrolled in-kernel with
-compile-time shifts, pair distances come from one (M, 3) @ (3, M) MXU
-matmul in cell-relative coordinates, and only the per-slot reductions
-(pi, spiky sums, deltas — (M, 1)/(M, 3)) ever leave the core.
+tensor in HBM (device-profiled: ~100 ms/projection at exact f32 at the 28k
+bench workload, ~40 GB of block-tensor traffic). These kernels keep each
+(M, M) block in VMEM: per cell, the 27 neighbor-offset blocks are unrolled
+in-kernel with compile-time shifts, and only per-slot reductions
+((M, 1)/(M, 3)) ever leave the core.
+
+In-kernel unit assignment (both device-measured — see the r3 status doc):
+- pair distances: direct subtract-square on the VPU (exact f32; the
+  |xi|^2+|xj|^2-2xi.xj MXU route needs 6-pass HIGHEST matmuls — Mosaic has
+  no 3-pass tier — and benched no faster),
+- ALL row reductions: one stacked [w|cg|...] @ [ones|xs^T] HIGHEST matmul
+  per block — jnp.sum(axis=1) is a cross-lane shuffle tree on the VPU, the
+  saturated unit, while the MXU sits idle,
+- global diagnostics (s_p6, s_edges, s_corr, s_ns): recovered in XLA from
+  the zeroed per-row outputs instead of (1,1) in-kernel accumulators.
 
 Empty cells and empty neighbor blocks are SKIPPED at run time via
 scalar-prefetched slot counts (`@pl.when`), so compute scales with occupied
 cells, not the static `max_cells` cap — data-dependent sparsity XLA cannot
-express.
+express. (A finer-grained center-row STRIP skip is scaffolded; STRIP=32/64
+benched neutral-to-worse at mean fill 43/128 — branch overhead eats the
+saved rows — so STRIP stays at M.)
 
 Math parity: identical to pbf_dense._pair_terms except the spiky coefficient
 uses ``rsqrt(d2 + eps)`` for both the length and the reciprocal (one VPU

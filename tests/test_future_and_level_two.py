@@ -2,6 +2,7 @@ import os
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fluidnexus_tpu.core.config import Config
 from fluidnexus_tpu.pipelines.future_simulation import predict
@@ -28,6 +29,7 @@ def fake_level_one_checkpoint(path, n_frames=2, n_hidden=100, n_vis=60, seed=0):
     return params
 
 
+@pytest.mark.slow
 def test_future_simulation_rollout(tmp_path):
     load_path = str(tmp_path / "recon")
     out_path = str(tmp_path / "future")

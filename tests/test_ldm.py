@@ -111,6 +111,7 @@ def test_plms_eps_prime_coefficients():
                                (55 * e - 59 * h1 + 37 * h2 - 9 * h3) / 24)
 
 
+@pytest.mark.slow
 def test_plms_sample_runs_tiny():
     model = NovelViewModel(
         unet_config=UNetConfig(in_channels=8, out_channels=4, model_channels=32,

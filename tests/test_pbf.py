@@ -1,5 +1,6 @@
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fluidnexus_tpu.sim.pbf import (
     PBFParams, confirm_guess, guess_hidden, poly6, project_gas_constraints,
@@ -51,6 +52,7 @@ def test_projection_matches_edge_list_oracle():
     assert np.all(np.asarray(new_st.estimate_xyz)[40:] == 0)
 
 
+@pytest.mark.slow
 def test_density_converges_toward_rest():
     """Solver iterations must reduce the density-constraint violation."""
     st, _ = blob_state(n=100, cap=128, spread=0.25, seed=2)
