@@ -299,18 +299,22 @@ def _build_tile_lists(proj: Projected, cfg: RasterizerConfig, tiles_x: int, tile
         # an unstable sort is bit-identical and drops the stability iota XLA
         # otherwise co-sorts (device-profiled: the stable 3-array sort was
         # 0.42 ms/step at the bench workload)
-        sorted_key, sorted_gidx = jax.lax.sort((key.reshape(-1), gidx.reshape(-1)),
-                                               num_keys=1, is_stable=False)
-        sorted_tile = sorted_key // n_pow2
+        _, sorted_gidx = jax.lax.sort((key.reshape(-1), gidx.reshape(-1)),
+                                      num_keys=1, is_stable=False)
     else:
         depth = jnp.broadcast_to(proj.depth[:, None], (n, d)).astype(jnp.float32)
-        sorted_tile, _, sorted_gidx = jax.lax.sort(
+        _, _, sorted_gidx = jax.lax.sort(
             (tile.reshape(-1), depth.reshape(-1), gidx.reshape(-1)), num_keys=2
         )
 
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(sorted_tile, tids, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(sorted_tile, tids, side="right").astype(jnp.int32)
+    # per-tile counts by dense compare + cumsum instead of two searchsorteds:
+    # each searchsorted lowers to a 19-round vmapped while of small gathers
+    # (~150 dispatched mini-ops/step); the (T, N*D) compare streams the VPU
+    counts = jnp.sum((tile.reshape(-1)[None, :] == tids[:, None])
+                     .astype(jnp.int32), axis=1)
+    ends = jnp.cumsum(counts).astype(jnp.int32)
+    starts = ends - counts
 
     k = cfg.tile_capacity
     pos = starts[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
