@@ -186,3 +186,40 @@ def test_tight_culling_exact_and_effective():
     _, live_off = _build_tile_lists(proj, cfg_off, 8, 8, opacities=args[2])
     n_on, n_off = int(jnp.sum(live_on)), int(jnp.sum(live_off))
     assert n_on < n_off, (n_on, n_off)
+
+
+def test_gather_rows_segsum_adjoint_matches_plain_gather():
+    """_gather_rows_segsum must reproduce XLA's scatter-add adjoint exactly,
+    including when dead tile-window spillover replicates one id across many
+    more slots than max_run (the sentinel idx_bwd masking keeps real runs
+    bounded — rasterizer.py:_gather_rows_segsum)."""
+    import jax
+
+    from fluidnexus_tpu.ops.rasterizer import _gather_rows_segsum
+
+    rng = np.random.default_rng(7)
+    n, t, k, f = 37, 6, 16, 5
+    packed = jnp.asarray(rng.standard_normal((n, f)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, n, (t, k)), jnp.int32)
+    live = jnp.asarray(rng.random((t, k)) < 0.6)
+    # adversarial spillover: one gaussian id fills most of two tiles' dead
+    # slots (> max_run replicas) — its live rows stay <= max_run
+    idx = idx.at[0].set(3)
+    idx = idx.at[1].set(3)
+    live = live.at[0].set(False)
+    live = live.at[1].set(False)
+    live = live.at[0, 0].set(True)
+    cot = jnp.asarray(rng.standard_normal((t, k, f)), jnp.float32)
+    cot = jnp.where(live[..., None], cot, 0.0)  # dead slots: zero cotangent
+
+    def loss_ref(p):
+        return jnp.vdot(p[idx], cot)
+
+    def loss_seg(p):
+        idx_bwd = jnp.where(live, idx, n)
+        return jnp.vdot(_gather_rows_segsum(p, idx, idx_bwd, 9), cot)
+
+    g_ref = jax.grad(loss_ref)(packed)
+    g_seg = jax.grad(loss_seg)(packed)
+    np.testing.assert_allclose(np.asarray(g_seg), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-5)
