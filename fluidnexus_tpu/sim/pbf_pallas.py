@@ -66,7 +66,7 @@ def _shift31(j, h):
 
 
 def _phase1_kernel(h, eps, c6, s45, m, cnt_ref, ncnt_ref,
-                   xc_ref, mc_ref, xng_ref, mng_ref,
+                   xc_ref, xng_ref,
                    pi_ref, sg_ref, c2_ref, nl_ref):
     h2 = h * h
     pid = pl.program_id(0)
@@ -74,8 +74,9 @@ def _phase1_kernel(h, eps, c6, s45, m, cnt_ref, ncnt_ref,
     sg_ref[...] = jnp.zeros(sg_ref.shape, sg_ref.dtype)
     c2_ref[...] = jnp.zeros(c2_ref.shape, c2_ref.dtype)
     nl_ref[...] = jnp.zeros(nl_ref.shape, nl_ref.dtype)
-    # global sums (s_p6, s_edges) are recovered in XLA from the zeroed
-    # per-row outputs: dead rows/cells contribute exact zeros here
+    # no mask loads/multiplies anywhere: dead slots carry far-away sentinel
+    # coords (see _gathers) so d2 > h^2 excludes them; global sums
+    # (s_p6, s_edges) are corrected for the dead self-diagonal in XLA
 
     for ci in range(CPB):
         cell = pid * CPB + ci
@@ -88,14 +89,13 @@ def _phase1_kernel(h, eps, c6, s45, m, cnt_ref, ncnt_ref,
                 @pl.when(ncnt_ref[cell * 27 + j] > 0)
                 def _():
                     xs = xng_ref[ci, 3 * j:3 * j + 3] + shift          # (3, M)
-                    mn = mng_ref[ci, j].reshape(1, m)
-                    for s in range(m // STRIP):
-                        sl = slice(s * STRIP, (s + 1) * STRIP)
+                    S = min(STRIP, m)
+                    for s in range(m // S):
+                        sl = slice(s * S, (s + 1) * S)
 
-                        @pl.when(cnt_ref[cell] > s * STRIP)
+                        @pl.when(cnt_ref[cell] > s * S)
                         def _():
                             xc = xc_ref[ci, sl]                # (S, 3)
-                            mcf = mc_ref[ci, sl]               # (S, 1)
                             # direct subtract-square pair distances: exact
                             # f32 on the VPU; the |xi|^2+|xj|^2-2xi.xj MXU
                             # route needs 6-pass HIGHEST matmuls (Mosaic has
@@ -106,21 +106,20 @@ def _phase1_kernel(h, eps, c6, s45, m, cnt_ref, ncnt_ref,
                             d2 = dx0 * dx0 + dx1 * dx1 + dx2 * dx2
                             if j == _SELF_J:
                                 seye = (lax.broadcasted_iota(
-                                    jnp.int32, (STRIP, m), 0) + s * STRIP
+                                    jnp.int32, (S, m), 0) + s * S
                                     == lax.broadcasted_iota(
-                                        jnp.int32, (STRIP, m), 1))
+                                        jnp.int32, (S, m), 1))
                                 d2 = jnp.where(seye, 0.0, d2)
-                            pm = mcf * mn
                             t2 = h2 - d2
-                            w = jnp.where(d2 < h2, c6 * t2 * t2 * t2, 0.0) * pm
+                            w = jnp.where(d2 < h2, c6 * t2 * t2 * t2, 0.0)
                             inv = lax.rsqrt(d2 + eps)
                             rlen = (d2 + eps) * inv
                             hr = h - rlen
-                            cg = jnp.where(rlen < h, (-s45) * hr * hr * inv,
-                                           0.0) * pm
+                            cg = jnp.where(rlen < h,
+                                           (-s45) * hr * hr * inv, 0.0)
                             if j == _SELF_J:
                                 cg = jnp.where(seye, 0.0, cg)
-                            inl = pm * (d2 <= h2)
+                            inl = (d2 <= h2).astype(jnp.float32)
                             # ALL row-sums ride the MXU as one stacked
                             # (4S, M) @ (M, 4) against [ones | xs^T]: lane
                             # reductions (jnp.sum axis=1) are cross-lane
@@ -134,7 +133,6 @@ def _phase1_kernel(h, eps, c6, s45, m, cnt_ref, ncnt_ref,
                                 stack, rhs, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                                 precision=lax.Precision.HIGHEST)  # (4S, 4)
-                            S = STRIP
                             pi_ref[ci, sl] += rs[0:S, 0:1]
                             sg_ref[ci, sl] += (rs[S:2 * S, 0:1] * xc
                                                - rs[S:2 * S, 1:4])
@@ -143,7 +141,7 @@ def _phase1_kernel(h, eps, c6, s45, m, cnt_ref, ncnt_ref,
 
 
 def _phase2_kernel(h, eps, c6, s45, k_p, e_p, inv_denom, m, cnt_ref, ncnt_ref,
-                   xc_ref, mc_ref, lamc_ref, xng_ref, mng_ref, lng_ref,
+                   xc_ref, lamc_ref, xng_ref, lng_ref,
                    ds_ref, cr_ref, nsr_ref):
     h2 = h * h
     pid = pl.program_id(0)
@@ -163,15 +161,14 @@ def _phase2_kernel(h, eps, c6, s45, k_p, e_p, inv_denom, m, cnt_ref, ncnt_ref,
                 @pl.when(ncnt_ref[cell * 27 + j] > 0)
                 def _():
                     xs = xng_ref[ci, 3 * j:3 * j + 3] + shift
-                    mn = mng_ref[ci, j].reshape(1, m)
                     ln = lng_ref[ci, j].reshape(1, m)
-                    for s in range(m // STRIP):
-                        sl = slice(s * STRIP, (s + 1) * STRIP)
+                    S = min(STRIP, m)
+                    for s in range(m // S):
+                        sl = slice(s * S, (s + 1) * S)
 
-                        @pl.when(cnt_ref[cell] > s * STRIP)
+                        @pl.when(cnt_ref[cell] > s * S)
                         def _():
                             xc = xc_ref[ci, sl]
-                            mcf = mc_ref[ci, sl]
                             lamc = lamc_ref[ci, sl]        # (S, 1)
                             # VPU subtract-square d2 — see _phase1_kernel
                             dx0 = xc[:, 0:1] - xs[0:1, :]
@@ -180,20 +177,19 @@ def _phase2_kernel(h, eps, c6, s45, k_p, e_p, inv_denom, m, cnt_ref, ncnt_ref,
                             d2 = dx0 * dx0 + dx1 * dx1 + dx2 * dx2
                             if j == _SELF_J:
                                 seye = (lax.broadcasted_iota(
-                                    jnp.int32, (STRIP, m), 0) + s * STRIP
+                                    jnp.int32, (S, m), 0) + s * S
                                     == lax.broadcasted_iota(
-                                        jnp.int32, (STRIP, m), 1))
+                                        jnp.int32, (S, m), 1))
                                 d2 = jnp.where(seye, 0.0, d2)
-                            pm = mcf * mn
                             t2 = h2 - d2
-                            w = jnp.where(d2 < h2, c6 * t2 * t2 * t2, 0.0) * pm
+                            w = jnp.where(d2 < h2, c6 * t2 * t2 * t2, 0.0)
                             if j == _SELF_J:
                                 w = jnp.where(seye, 0.0, w)
                             inv = lax.rsqrt(d2 + eps)
                             rlen = (d2 + eps) * inv
                             hr = h - rlen
-                            cg = jnp.where(rlen < h, (-s45) * hr * hr * inv,
-                                           0.0) * pm
+                            cg = jnp.where(rlen < h,
+                                           (-s45) * hr * hr * inv, 0.0)
                             if j == _SELF_J:
                                 cg = jnp.where(seye, 0.0, cg)
                             wd = w * inv_denom
@@ -206,7 +202,7 @@ def _phase2_kernel(h, eps, c6, s45, k_p, e_p, inv_denom, m, cnt_ref, ncnt_ref,
                                 corr = -k_p * jnp.power(wd, e_p)
                             a = lamc + ln + corr
                             b = a * cg
-                            mask_ns = pm * (d2 <= h2)
+                            mask_ns = (d2 <= h2).astype(jnp.float32)
                             if j == _SELF_J:
                                 mask_ns = jnp.where(seye, 0.0, mask_ns)
                             # stacked MXU row-sums (see _phase1_kernel)
@@ -219,25 +215,39 @@ def _phase2_kernel(h, eps, c6, s45, k_p, e_p, inv_denom, m, cnt_ref, ncnt_ref,
                                 stack, rhs, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                                 precision=lax.Precision.HIGHEST)  # (3S, 4)
-                            S = STRIP
                             ds_ref[ci, sl] += (rs[0:S, 0:1] * xc
                                                - rs[0:S, 1:4])
                             cr_ref[ci, sl] += rs[S:2 * S, 0:1]
                             nsr_ref[ci, sl] += rs[2 * S:3 * S, 0:1]
 
 
+_SENT_SCALE = 100.0   # dead-slot coordinate spacing (see _gathers)
+
+
 def _gathers(grid: DenseGrid):
-    """Neighbor blocks pre-gathered in XLA (streamed once per projection;
-    ~0.4 ms at C=2048, M=128 — negligible vs keeping (C, M, M) off HBM)."""
+    """Neighbor blocks pre-gathered in XLA (streamed once per projection).
+
+    MASK-FREE pair exclusion: dead slots get a unique far-away sentinel
+    coordinate ``(cell*M + slot) * _SENT_SCALE`` on every axis, so any pair
+    involving a dead slot has ``d2 > h^2`` and drops out of the kernel math
+    with NO mask loads or multiplies. The single exception is a dead slot
+    paired with ITSELF on the self-offset diagonal (d2 = 0 exactly): its
+    poly6/in-list contribution is excluded per-row where it matters (the
+    spiky diagonal is already eye-masked) and corrected as a closed-form
+    scalar in phase1_slots for the two global sums.
+    """
     c, m = grid.nbr.shape[0], grid.capacity
     cnt = grid.bmask.sum(-1).astype(jnp.int32)             # (C+1,)
     # FLAT (C*27,) — a 2-D scalar-prefetch operand is lane-padded to
     # (C, 128) in SMEM and blows the 1 MB budget at C=2048
     ncnt = cnt[grid.nbr].reshape(-1)                       # (C*27,)
-    xnT = grid.bxyz.transpose(0, 2, 1)                     # (C+1, 3, M)
-    xng = xnT[grid.nbr].reshape(c, 81, m)                  # (C, 27*3, M)
-    mng = grid.bmask[grid.nbr].astype(jnp.float32)         # (C, 27, M)
-    return cnt, ncnt, xng, mng
+    rows = jnp.arange(c + 1, dtype=jnp.int32)[:, None] * m
+    sent = ((rows + jnp.arange(m, dtype=jnp.int32)[None, :])
+            .astype(jnp.float32) * _SENT_SCALE)[..., None]  # (C+1, M, 1)
+    bs = jnp.where(grid.bmask[..., None], grid.bxyz, sent)  # (C+1, M, 3)
+    xnT = bs.transpose(0, 2, 1)                             # (C+1, 3, M)
+    xng = xnT[grid.nbr].reshape(c, 81, m)                   # (C, 27*3, M)
+    return cnt, ncnt, bs, xng
 
 
 def _pad_c(arrs, c):
@@ -255,11 +265,11 @@ def phase1_slots(grid: DenseGrid, h, eps, c6, s45, gathered=None):
     ``gathered`` optionally reuses a ``_gathers(grid)`` result (the two
     phases of one projection share it — saves ~5 ms/projection)."""
     c, m = grid.nbr.shape[0], grid.capacity
-    cnt, ncnt, xng, mng = _gathers(grid) if gathered is None else gathered
-    xc = grid.bxyz[:-1]
-    mc = grid.bmask[:-1].astype(jnp.float32)[..., None]
-    (xc, mc, xng, mng), cp = _pad_c([xc, mc, xng, mng], c)
-    cnt = jnp.pad(cnt[:-1], (0, cp - c))
+    cnt, ncnt, bs, xng = _gathers(grid) if gathered is None else gathered
+    xc = bs[:-1]
+    (xc, xng), cp = _pad_c([xc, xng], c)
+    cntc = cnt[:-1]
+    cnt_p = jnp.pad(cntc, (0, cp - c))
     ncnt = jnp.pad(ncnt, (0, (cp - c) * 27))
     g = cp // CPB
     kern = functools.partial(_phase1_kernel, float(h), float(eps), float(c6),
@@ -271,7 +281,7 @@ def phase1_slots(grid: DenseGrid, h, eps, c6, s45, gathered=None):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(g,),
-            in_specs=[blk(m, 3), blk(m, 1), blk(81, m), blk(27, m)],
+            in_specs=[blk(m, 3), blk(81, m)],
             out_specs=(blk(m, 1), blk(m, 3), blk(m, 1), blk(m, 1)),
         ),
         out_shape=(
@@ -281,10 +291,18 @@ def phase1_slots(grid: DenseGrid, h, eps, c6, s45, gathered=None):
             jax.ShapeDtypeStruct((cp, m, 1), jnp.float32),
         ),
         interpret=_interpret(),
-    )(cnt, ncnt, xc, mc, xng, mng)
+    )(cnt_p, ncnt, xc, xng)
     pi, sg, c2d2, nlen = out
+    # dead self-diagonal correction: every dead slot of an occupied center
+    # cell whose row strip was processed contributes exactly one (d2=0)
+    # self pair: w = c6*h^6, inl = 1
+    s_eff = min(STRIP, m)
+    rows_done = jnp.minimum(-(-cntc // s_eff) * s_eff, m)
+    n_dead = jnp.sum(jnp.where(cntc > 0, rows_done - cntc, 0)
+                     ).astype(jnp.float32)
+    w_self = float(c6) * float(h) ** 6
     return (pi[:c, :, 0], sg[:c], c2d2[:c, :, 0], nlen[:c, :, 0],
-            jnp.sum(pi), jnp.sum(nlen))
+            jnp.sum(pi) - n_dead * w_self, jnp.sum(nlen) - n_dead)
 
 
 @functools.partial(jax.jit,
@@ -294,14 +312,12 @@ def phase2_slots(grid: DenseGrid, lam_s, h, eps, c6, s45, k_p, e_p, inv_denom,
                  gathered=None):
     """Per-slot delta sums: (dsum (C,M,3), s_corr, s_ns). lam_s: (C, M)."""
     c, m = grid.nbr.shape[0], grid.capacity
-    cnt, ncnt, xng, mng = _gathers(grid) if gathered is None else gathered
+    cnt, ncnt, bs, xng = _gathers(grid) if gathered is None else gathered
     lam_pad = jnp.concatenate([lam_s, jnp.zeros((1, m), jnp.float32)], 0)
     lng = lam_pad[grid.nbr]                                # (C, 27, M)
-    xc = grid.bxyz[:-1]
-    mc = grid.bmask[:-1].astype(jnp.float32)[..., None]
+    xc = bs[:-1]
     lamc = lam_s[..., None]
-    (xc, mc, lamc, xng, mng, lng), cp = _pad_c(
-        [xc, mc, lamc, xng, mng, lng], c)
+    (xc, lamc, xng, lng), cp = _pad_c([xc, lamc, xng, lng], c)
     cnt = jnp.pad(cnt[:-1], (0, cp - c))
     ncnt = jnp.pad(ncnt, (0, (cp - c) * 27))
     g = cp // CPB
@@ -315,8 +331,7 @@ def phase2_slots(grid: DenseGrid, lam_s, h, eps, c6, s45, k_p, e_p, inv_denom,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(g,),
-            in_specs=[blk(m, 3), blk(m, 1), blk(m, 1), blk(81, m), blk(27, m),
-                      blk(27, m)],
+            in_specs=[blk(m, 3), blk(m, 1), blk(81, m), blk(27, m)],
             out_specs=(blk(m, 3), blk(m, 1), blk(m, 1)),
         ),
         out_shape=(
@@ -325,6 +340,6 @@ def phase2_slots(grid: DenseGrid, lam_s, h, eps, c6, s45, k_p, e_p, inv_denom,
             jax.ShapeDtypeStruct((cp, m, 1), jnp.float32),
         ),
         interpret=_interpret(),
-    )(cnt, ncnt, xc, mc, lamc, xng, mng, lng)
+    )(cnt, ncnt, xc, lamc, xng, lng)
     ds, cr, nsr = out
     return ds[:c], jnp.sum(cr), jnp.sum(nsr)
