@@ -64,9 +64,14 @@ def _build_grid(x, alive_x, origin, r, grid, cell_capacity):
 
     order = jnp.argsort(cid).astype(jnp.int32)
     cid_sorted = cid[order]
-    # rank within the run of equal cell ids
-    first = jnp.searchsorted(cid_sorted, cid_sorted, side="left")
-    rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+    # rank within the run of equal cell ids: run-head flags + cummax is one
+    # lane-parallel scan; searchsorted(a, a) lowers to a 19-round vmapped
+    # while of small gathers (~3 ms at N=32k, device-profiled)
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+    head = jnp.concatenate(
+        [jnp.ones((1,), bool), cid_sorted[1:] != cid_sorted[:-1]])
+    first = jax.lax.cummax(jnp.where(head, iota_n, 0))
+    rank = iota_n - first
 
     # SCATTER bucket build (device-profiled FASTER than the scatter-free
     # gather build: 141 vs 212 ms/radius_graph at the 32k bench workload —
