@@ -57,8 +57,13 @@ class RasterizerConfig:
     tight_cull: bool = True   # drop (gaussian,tile) slots that cannot reach
                               # alpha 1/255 anywhere in the tile (output-exact;
                               # see _build_tile_lists)
-    seg_adjoint: bool = True  # segmented-scan gather adjoint instead of XLA's
-                              # sorted scatter-add (see _gather_rows_segsum)
+    seg_adjoint: bool = False  # segmented-scan gather adjoint instead of XLA's
+                              # sorted scatter-add (see _gather_rows_segsum).
+                              # Device-measured LOSER at the 32k bench workload:
+                              # 70.9 fps vs 96.0 fps with the XLA scatter-add
+                              # (same session, r3) — the sort + doubling-step
+                              # masked adds cost more than the scatter they
+                              # replace. Kept gated for smaller-D workloads.
 
     def resolved_backend(self) -> str:
         if self.backend != "auto":
