@@ -7,13 +7,13 @@ bench workload, ~40 GB of block-tensor traffic). These kernels keep each
 in-kernel with compile-time shifts, and only per-slot reductions
 ((M, 1)/(M, 3)) ever leave the core.
 
-In-kernel unit assignment (both device-measured — see the r3 status doc):
+In-kernel unit assignment (all device-measured — see the r3 status doc):
 - pair distances: direct subtract-square on the VPU (exact f32; the
   |xi|^2+|xj|^2-2xi.xj MXU route needs 6-pass HIGHEST matmuls — Mosaic has
   no 3-pass tier — and benched no faster),
-- ALL row reductions: one stacked [w|cg|...] @ [ones|xs^T] HIGHEST matmul
-  per block — jnp.sum(axis=1) is a cross-lane shuffle tree on the VPU, the
-  saturated unit, while the MXU sits idle,
+- scalar row reductions: plain VPU jnp.sum(axis=1); the stacked
+  [w|cg|...] @ [ones|xs^T] MXU alternative benched ~2x slower (see
+  MXU_ROWSUM below). Only the (S,M)@(M,3) vector sums ride the MXU.
 - global diagnostics (s_p6, s_edges, s_corr, s_ns): recovered in XLA from
   the zeroed per-row outputs instead of (1,1) in-kernel accumulators.
 
@@ -64,7 +64,19 @@ def _shift31(j, h):
     return jnp.where(ri == 0, sx, jnp.where(ri == 1, sy, sz))
 
 
-def _phase1_kernel(h, eps, c6, s45, m, cnt_ref, ncnt_ref,
+MXU_ROWSUM = False  # stacked [w|cg|...] @ [ones|xs^T] row-sums vs plain VPU
+                    # jnp.sum(axis=1). The MXU form was committed unmeasured
+                    # during the r3 TPU outage and device-benched ~2x SLOWER
+                    # at the 28k bench workload (phase1 55.8 vs 26.8 ms,
+                    # phase2 44.1 vs 27.4 ms; outputs agree to 4e-5 rel): the
+                    # (4S,M)@(M,4) stacked matmul fills 4 of 128 result lanes
+                    # and its two sublane concatenates per block-offset are
+                    # retiling copies — costlier than the VPU shuffle-tree
+                    # sums they replace. Only the (S,M)@(M,3) vector sums
+                    # stay on the MXU.
+
+
+def _phase1_kernel(h, eps, c6, s45, m, mxu, cnt_ref, ncnt_ref,
                    xc_ref, xng_ref,
                    pi_ref, sg_ref, c2_ref, nl_ref):
     h2 = h * h
@@ -119,27 +131,40 @@ def _phase1_kernel(h, eps, c6, s45, m, cnt_ref, ncnt_ref,
                             if j == _SELF_J:
                                 cg = jnp.where(seye, 0.0, cg)
                             inl = (d2 <= h2).astype(jnp.float32)
-                            # ALL row-sums ride the MXU as one stacked
-                            # (4S, M) @ (M, 4) against [ones | xs^T]: lane
-                            # reductions (jnp.sum axis=1) are cross-lane
-                            # shuffle trees on the VPU — the saturated unit
-                            stack = jnp.concatenate(
-                                [w, cg, cg * cg * d2, inl], axis=0)
-                            ones_col = jnp.ones((m, 1), jnp.float32)
-                            rhs = jnp.concatenate(
-                                [ones_col, xs.T], axis=1)        # (M, 4)
-                            rs = lax.dot_general(
-                                stack, rhs, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=lax.Precision.HIGHEST)  # (4S, 4)
-                            pi_ref[ci, sl] += rs[0:S, 0:1]
-                            sg_ref[ci, sl] += (rs[S:2 * S, 0:1] * xc
-                                               - rs[S:2 * S, 1:4])
-                            c2_ref[ci, sl] += rs[2 * S:3 * S, 0:1]
-                            nl_ref[ci, sl] += rs[3 * S:4 * S, 0:1]
+                            if mxu:
+                                # ALL row-sums as one stacked (4S, M) @ (M, 4)
+                                # against [ones | xs^T] — see MXU_ROWSUM
+                                stack = jnp.concatenate(
+                                    [w, cg, cg * cg * d2, inl], axis=0)
+                                ones_col = jnp.ones((m, 1), jnp.float32)
+                                rhs = jnp.concatenate(
+                                    [ones_col, xs.T], axis=1)        # (M, 4)
+                                rs = lax.dot_general(
+                                    stack, rhs, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=lax.Precision.HIGHEST)  # (4S, 4)
+                                pi_ref[ci, sl] += rs[0:S, 0:1]
+                                sg_ref[ci, sl] += (rs[S:2 * S, 0:1] * xc
+                                                   - rs[S:2 * S, 1:4])
+                                c2_ref[ci, sl] += rs[2 * S:3 * S, 0:1]
+                                nl_ref[ci, sl] += rs[3 * S:4 * S, 0:1]
+                            else:
+                                rs_cg = jnp.sum(cg, axis=1, keepdims=True)
+                                wxs = lax.dot_general(
+                                    cg, xs.T, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=lax.Precision.HIGHEST)  # (S, 3)
+                                pi_ref[ci, sl] += jnp.sum(w, axis=1,
+                                                          keepdims=True)
+                                sg_ref[ci, sl] += rs_cg * xc - wxs
+                                c2_ref[ci, sl] += jnp.sum(cg * cg * d2, axis=1,
+                                                          keepdims=True)
+                                nl_ref[ci, sl] += jnp.sum(inl, axis=1,
+                                                          keepdims=True)
 
 
-def _phase2_kernel(h, eps, c6, s45, k_p, e_p, inv_denom, m, cnt_ref, ncnt_ref,
+def _phase2_kernel(h, eps, c6, s45, k_p, e_p, inv_denom, m, mxu,
+                   cnt_ref, ncnt_ref,
                    xc_ref, lamc_ref, xng_ref, lng_ref,
                    ds_ref, cr_ref, nsr_ref):
     h2 = h * h
@@ -204,20 +229,32 @@ def _phase2_kernel(h, eps, c6, s45, k_p, e_p, inv_denom, m, cnt_ref, ncnt_ref,
                             mask_ns = (d2 <= h2).astype(jnp.float32)
                             if j == _SELF_J:
                                 mask_ns = jnp.where(seye, 0.0, mask_ns)
-                            # stacked MXU row-sums (see _phase1_kernel)
-                            stack = jnp.concatenate(
-                                [b, corr * mask_ns, mask_ns], axis=0)
-                            ones_col = jnp.ones((m, 1), jnp.float32)
-                            rhs = jnp.concatenate(
-                                [ones_col, xs.T], axis=1)        # (M, 4)
-                            rs = lax.dot_general(
-                                stack, rhs, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=lax.Precision.HIGHEST)  # (3S, 4)
-                            ds_ref[ci, sl] += (rs[0:S, 0:1] * xc
-                                               - rs[0:S, 1:4])
-                            cr_ref[ci, sl] += rs[S:2 * S, 0:1]
-                            nsr_ref[ci, sl] += rs[2 * S:3 * S, 0:1]
+                            if mxu:
+                                # stacked MXU row-sums (see MXU_ROWSUM)
+                                stack = jnp.concatenate(
+                                    [b, corr * mask_ns, mask_ns], axis=0)
+                                ones_col = jnp.ones((m, 1), jnp.float32)
+                                rhs = jnp.concatenate(
+                                    [ones_col, xs.T], axis=1)        # (M, 4)
+                                rs = lax.dot_general(
+                                    stack, rhs, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=lax.Precision.HIGHEST)  # (3S, 4)
+                                ds_ref[ci, sl] += (rs[0:S, 0:1] * xc
+                                                   - rs[0:S, 1:4])
+                                cr_ref[ci, sl] += rs[S:2 * S, 0:1]
+                                nsr_ref[ci, sl] += rs[2 * S:3 * S, 0:1]
+                            else:
+                                rs_b = jnp.sum(b, axis=1, keepdims=True)
+                                bxs = lax.dot_general(
+                                    b, xs.T, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=lax.Precision.HIGHEST)  # (S, 3)
+                                ds_ref[ci, sl] += rs_b * xc - bxs
+                                cr_ref[ci, sl] += jnp.sum(corr * mask_ns,
+                                                          axis=1, keepdims=True)
+                                nsr_ref[ci, sl] += jnp.sum(mask_ns, axis=1,
+                                                           keepdims=True)
 
 
 _SENT_SCALE = 100.0   # dead-slot coordinate spacing (see _gathers)
@@ -257,8 +294,10 @@ def _pad_c(arrs, c):
             for a in arrs], cp
 
 
-@functools.partial(jax.jit, static_argnames=("h", "eps", "c6", "s45"))
-def phase1_slots(grid: DenseGrid, h, eps, c6, s45, gathered=None):
+@functools.partial(jax.jit,
+                   static_argnames=("h", "eps", "c6", "s45", "mxu_rowsum"))
+def phase1_slots(grid: DenseGrid, h, eps, c6, s45, gathered=None,
+                 mxu_rowsum=None):
     """Per-slot density/gradient sums: (pi_raw, sg, c2d2, nlen, s_p6, s_edges).
 
     ``gathered`` optionally reuses a ``_gathers(grid)`` result (the two
@@ -271,8 +310,9 @@ def phase1_slots(grid: DenseGrid, h, eps, c6, s45, gathered=None):
     cnt_p = jnp.pad(cntc, (0, cp - c))
     ncnt = jnp.pad(ncnt, (0, (cp - c) * 27))
     g = cp // CPB
+    mxu = MXU_ROWSUM if mxu_rowsum is None else mxu_rowsum
     kern = functools.partial(_phase1_kernel, float(h), float(eps), float(c6),
-                             float(s45), m)
+                             float(s45), m, mxu)
     blk = lambda *s: pl.BlockSpec((CPB,) + s, lambda i, *_: (i,) + (0,) * len(s),
                                   memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -306,9 +346,9 @@ def phase1_slots(grid: DenseGrid, h, eps, c6, s45, gathered=None):
 
 @functools.partial(jax.jit,
                    static_argnames=("h", "eps", "c6", "s45", "k_p", "e_p",
-                                   "inv_denom"))
+                                   "inv_denom", "mxu_rowsum"))
 def phase2_slots(grid: DenseGrid, lam_s, h, eps, c6, s45, k_p, e_p, inv_denom,
-                 gathered=None):
+                 gathered=None, mxu_rowsum=None):
     """Per-slot delta sums: (dsum (C,M,3), s_corr, s_ns). lam_s: (C, M)."""
     c, m = grid.nbr.shape[0], grid.capacity
     cnt, ncnt, bs, xng = _gathers(grid) if gathered is None else gathered
@@ -320,9 +360,10 @@ def phase2_slots(grid: DenseGrid, lam_s, h, eps, c6, s45, k_p, e_p, inv_denom,
     cnt = jnp.pad(cnt[:-1], (0, cp - c))
     ncnt = jnp.pad(ncnt, (0, (cp - c) * 27))
     g = cp // CPB
+    mxu = MXU_ROWSUM if mxu_rowsum is None else mxu_rowsum
     kern = functools.partial(_phase2_kernel, float(h), float(eps), float(c6),
                              float(s45), float(k_p), float(e_p),
-                             float(inv_denom), m)
+                             float(inv_denom), m, mxu)
     blk = lambda *s: pl.BlockSpec((CPB,) + s, lambda i, *_: (i,) + (0,) * len(s),
                                   memory_space=pltpu.VMEM)
     out = pl.pallas_call(
