@@ -46,9 +46,20 @@ from jax.experimental.pallas import tpu as pltpu
 from fluidnexus_tpu.ops.neighbors import _OFFSETS, DenseGrid
 
 CPB = 8           # cells per program (VMEM budget allows 8 at M=128)
-STRIP = 128       # center-row strip: strips past ceil(cnt/STRIP) are skipped
+STRIP = 64        # center-row strip: strips past ceil(cnt/STRIP) are skipped
                   # (slots are front-compacted per cell — neighbors.py slotv),
-                  # so pair work scales with live rows, not the static M cap
+                  # so pair work scales with live rows, not the static M cap.
+                  # Device A/B at the 28k bench workload (VPU row-sum era,
+                  # mean fill 43/128): STRIP=64 wins ~19% on both phases
+                  # (phase1 27.1 -> 22.1 ms, phase2 27.5 -> 22.2); STRIP=32
+                  # regresses phase1 to 36.4 ms (branch overhead). The earlier
+                  # "neutral-to-worse" result was measured with the MXU
+                  # stacked row-sums dominating the per-strip cost.
+                  # NOTE: dead slots on processed strips contribute their
+                  # self-pair to the RAW per-slot outputs, so raw dead-slot
+                  # values are STRIP-dependent; live slots and the corrected
+                  # global sums are not (dead slots are never gathered back
+                  # to point space).
 _SELF_J = 13      # index of the (0,0,0) offset in _OFFSETS
 
 

@@ -132,3 +132,37 @@ def test_dense_projection_overflow_counted():
     st = _mk_state(200, 256, seed=7, spread=1.5)
     _, d = project_gas_constraints_dense(st, params)
     assert int(d["overflow"]) > 0
+
+
+@pytest.mark.slow
+def test_pallas_multi_strip_matches_xla():
+    """Center-row strip skipping (STRIP < capacity) must not change live-slot
+    results: dead rows on processed strips contribute only their own self-pair
+    (raw dead-slot values are STRIP-dependent by design), which never reaches
+    point space and is corrected out of the global sums (pbf_pallas.STRIP).
+    Compiled at the real M=128/STRIP=64 geometry this was device-verified
+    exact; here tiny strips exercise the multi-strip logic in interpret mode."""
+    import jax
+
+    from fluidnexus_tpu.sim import pbf_pallas
+
+    params = PBFParams(h=1.0, knn_k=512, dense_max_cells=32,
+                       dense_cell_capacity=8)
+    st = _mk_state(60, 128, seed=11, spread=0.9)
+    a_st, a_d = project_gas_constraints_dense(st, params, backend="xla")
+    old = pbf_pallas.STRIP
+    try:
+        pbf_pallas.STRIP = 4  # 2 strips per (8-slot) cell block
+        jax.clear_caches()    # STRIP is a module global, not a jit cache key
+        b_st, b_d = project_gas_constraints_dense(st, params, backend="pallas")
+    finally:
+        pbf_pallas.STRIP = old
+        jax.clear_caches()
+    np.testing.assert_allclose(np.asarray(b_st.estimate_xyz),
+                               np.asarray(a_st.estimate_xyz),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b_st.force),
+                               np.asarray(a_st.force), rtol=1e-5, atol=1e-5)
+    for key in a_d:
+        np.testing.assert_allclose(np.asarray(b_d[key]), np.asarray(a_d[key]),
+                                   rtol=1e-4, atol=1e-5, err_msg=key)
