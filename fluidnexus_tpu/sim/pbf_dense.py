@@ -147,7 +147,12 @@ def project_gas_constraints_dense(state: ParticleState, params: PBFParams,
              jnp.float32(0.0), jnp.int32(0)),
             (offsets, grid.nbr.T))
 
-    imass_s = slot_gather(grid, state.imass, fill=1.0)[:-1]
+    # ONE packed slot_gather for both per-point inputs (imass, counts): two
+    # separate (C+1, M) gathers cost ~2x the HBM round trips of one 2-col row
+    # gather at the bench workload
+    ic_s = slot_gather(grid, jnp.stack([state.imass, state.counts], -1))[:-1]
+    imass_s = jnp.where(mc_all, ic_s[..., 0], 1.0)
+    counts_s = ic_s[..., 1]
     pi_s = pi_s / imass_s
     gr = sg_s / params.p0
     gr_dot = jnp.sum(gr * gr, -1)
@@ -194,19 +199,26 @@ def project_gas_constraints_dense(state: ParticleState, params: PBFParams,
             (jnp.zeros((C, M, 3), jnp.float32), jnp.float32(0.0), jnp.int32(0)),
             (offsets, grid.nbr.T))
 
-    counts_s = slot_gather(grid, state.counts)[:-1]
     # clamp only guards 0/0 in never-gathered invalid slots (any valid slot
     # has its self-pair in-list, so nlen >= 1 there)
     delta_s = dsum_s / params.p0 / jnp.maximum(nlen_s + counts_s, 1e-20)[..., None]
 
     # ---------------- back to point space ----------------
+    # ONE packed point_gather: five separate (N,)-row gathers from the
+    # (C+1, M) slot tables were ~4 ms/projection of serial XLA gather time at
+    # the bench workload; packing [delta|pi|p_ratio|lam|nlen] into one
+    # 7-column row gather streams the same rows once
     zrow = lambda f: jnp.concatenate(
         [f, jnp.zeros((1,) + f.shape[1:], f.dtype)], 0)
-    delta = point_gather(grid, zrow(delta_s))
-    pi = point_gather(grid, zrow(pi_s))
-    p_ratio = point_gather(grid, zrow(p_ratio_s))
-    lambdas = point_gather(grid, lam_pad)
-    neighbors_len = point_gather(grid, zrow(nlen_s))
+    packed_s = jnp.concatenate(
+        [delta_s, pi_s[..., None], p_ratio_s[..., None], lam_s[..., None],
+         nlen_s[..., None]], -1)                           # (C, M, 7)
+    pt = point_gather(grid, zrow(packed_s))                # (N, 7)
+    delta = pt[:, 0:3]
+    pi = pt[:, 3]
+    p_ratio = pt[:, 4]
+    lambdas = pt[:, 5]
+    neighbors_len = pt[:, 6]
 
     force_delta = state.velocity * (1.0 - p_ratio)[:, None] * -params.k
     force = state.force + jnp.where(state.alive[:, None], force_delta, 0.0)
