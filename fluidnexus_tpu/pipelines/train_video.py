@@ -224,6 +224,51 @@ def train(args, log=print):
         encode = lambda vp, f, k: engine.encode_first_stage(vp, f, k, chunk=args.encode_chunk)
     else:
         encode = jax.jit(lambda vp, f, k: engine.encode_first_stage(vp, f, k))
+    # ------------------------- eval/sample fork -------------------------
+    # Reference parity: train_image_to_video.py:59-109 (log_video: sample an
+    # mp4 with the live weights every eval_interval, save under
+    # <save>/video/samples_gs_{it:06d}/ + the caption under video_texts/)
+    # and :141-170 (forward_step_eval: an eval-batch loss scalar). Sampling
+    # prefers the EMA-merged tree — the same weights the shipped checkpoints
+    # generate from. Rank-0-gated like the reference's dp-rank-0 fork.
+    from fluidnexus_tpu.utils.tb import TrainLogger
+    from fluidnexus_tpu.utils.video_io import write_video
+
+    tb = TrainLogger(args.save_dir or None,
+                     enabled=bool(args.save_dir) and jax.process_index() == 0)
+    eval_loss_fn = jax.jit(functools.partial(engine.loss_fn,
+                                             is_i2v=not args.t2v))
+
+    def eval_sample(it, p, ema, latents, captions):
+        ep = ema_full_tree(p, ema) if ema is not None else p
+        emb = enc([captions[0]])
+        uc = enc([""])
+        k_eval = jax.random.PRNGKey(args.seed + it)
+        eloss, _ = eval_loss_fn(ep, latents[:1], emb, k_eval)
+        prefix = latents[:1, : args.fixed_frames] if (
+            not args.t2v and args.fixed_frames > 0) else None
+        z = engine.sample(ep, latents[:1].shape, emb, uc_text_emb=uc,
+                          rng=k_eval, num_steps=args.eval_steps,
+                          prefix_clean_frames=prefix)
+        frames = engine.decode_first_stage(
+            vae_params, jnp.transpose(z, (0, 1, 3, 4, 2)))   # (1,T,H,W,3)
+        vid = np.clip((np.asarray(frames[0]) + 1.0) / 2.0, 0.0, 1.0)
+        if jax.process_index() == 0 and args.save_dir:
+            root = os.path.join(args.save_dir, "video",
+                                f"samples_gs_{it:06d}")
+            os.makedirs(root, exist_ok=True)
+            path = write_video(os.path.join(root, "000000.mp4"),
+                               (vid * 255).astype(np.uint8), fps=8)
+            tdir = os.path.join(args.save_dir, "video_texts")
+            os.makedirs(tdir, exist_ok=True)
+            with open(os.path.join(tdir, f"{it:06d}.txt"), "w") as f:
+                f.write(str(captions[0]) + "\n")
+            tb.scalar("eval/loss", float(eloss), it)
+            stride = max(1, vid.shape[0] // 8)
+            tb.image_grid("samples", list(vid[::stride][:8]), it)
+            log(f"eval @ {it}: loss {float(eloss):.5f} sample -> {path}")
+        return float(eloss)
+
     data_sh = NamedSharding(mesh, P("data"))
     rng = jax.random.PRNGKey(args.seed)
     start_it = 1
@@ -283,6 +328,9 @@ def train(args, log=print):
                 ips = (it - start_it + 1) / max(time.time() - t0, 1e-9)
                 log(f"iter {it}/{args.iterations} loss {float(loss):.5f} "
                     f"({ips:.2f} it/s) [{timer.report()}]")
+                tb.scalar("train/loss", float(loss), it)
+            if args.eval_interval > 0 and it % args.eval_interval == 0:
+                eval_sample(it, params, ema_params, latents, captions)
             if args.save_dir and it % args.save_every == 0:
                 save_params(os.path.join(args.save_dir, f"iter_{it:07d}"), jax.device_get(params))
                 if ema_params is not None:
@@ -329,6 +377,13 @@ def build_argparser():
                          "shared_step) instead of the prefix-i2v default "
                          "(train_image_to_video.py shared_step_i2v)")
     ap.add_argument("--ucg_rate", type=float, default=0.1)
+    ap.add_argument("--eval_interval", type=int, default=0,
+                    help="sample + save an eval clip every N iters with the "
+                         "EMA-merged weights (reference log_video/"
+                         "forward_step_eval, train_image_to_video.py:59-170); "
+                         "0 disables. --base YAMLs set their eval_interval.")
+    ap.add_argument("--eval_steps", type=int, default=20,
+                    help="sampler steps for the eval clip")
     ap.add_argument("--num_frames", type=int, default=49)
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=720)
@@ -364,7 +419,7 @@ def apply_base_yaml(ap, argv=None):
             ucg_rate=cfg.ucg_rate, num_frames=t.max_num_frames,
             height=t.video_size[0], width=t.video_size[1],
             log_every=t.log_interval, save_every=t.save_interval,
-            save_dir=t.save,
+            save_dir=t.save, eval_interval=t.eval_interval,
             data_root=(t.train_data[0] if t.train_data else ""),
             t5_dir=cfg.t5_dir,
         )

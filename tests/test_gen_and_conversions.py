@@ -143,6 +143,45 @@ def test_train_video_lora_tiny(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_video_eval_fork(tmp_path):
+    """--eval_interval samples an mp4 + caption + TB tags mid-finetune with
+    the EMA-merged weights (reference log_video/forward_step_eval parity,
+    train_image_to_video.py:59-109,141-170)."""
+    from fluidnexus_tpu.pipelines.train_video import build_argparser, train
+
+    rng = np.random.default_rng(0)
+    from PIL import Image
+
+    clip = tmp_path / "videos" / "clip0"
+    os.makedirs(clip)
+    os.makedirs(tmp_path / "labels")
+    for i in range(9):
+        Image.fromarray(rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)).save(
+            clip / f"frame_{i:06d}.png")
+    (tmp_path / "labels" / "clip0.txt").write_text("a smoke plume")
+    save = tmp_path / "run"
+
+    args = build_argparser().parse_args([
+        "--data_root", str(tmp_path), "--iterations", "2", "--batch", "1",
+        "--num_frames", "9", "--height", "32", "--width", "32", "--tiny",
+        "--lora_rank", "2", "--log_every", "1", "--save_dir", str(save),
+        "--eval_interval", "2", "--eval_steps", "2", "--save_every", "100",
+    ])
+    train(args, log=lambda *a: None)
+    # the reference's artifact layout: <save>/video/samples_gs_NNNNNN/*.mp4
+    # + <save>/video_texts/NNNNNN.txt
+    vids = sorted((save / "video").glob("samples_gs_*/*"))
+    assert vids and vids[0].parent.name == "samples_gs_000002"
+    assert (save / "video_texts" / "000002.txt").read_text().strip() == "a smoke plume"
+    from fluidnexus_tpu.utils.video_io import read_video
+
+    arr = read_video(str(vids[0]))
+    assert arr.shape[1:] == (32, 32, 3) and arr.shape[0] == 9
+    # TB event files exist (eval/loss + samples grid were written)
+    assert any(f.name.startswith("events") for f in save.iterdir())
+
+
+@pytest.mark.slow
 def test_train_video_resume_full_state(tmp_path):
     """--resume_from restores params + optimizer moments + EMA + rng +
     iteration (SAT checkpoint-resume parity): a 2-iter run saved at every
