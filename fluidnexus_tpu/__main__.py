@@ -18,6 +18,7 @@ STAGES = {
     "gen_refine_video": "fluidnexus_tpu.pipelines.gen_refine_video",
     "gen_future_video": "fluidnexus_tpu.pipelines.gen_future_video",
     "convert": "fluidnexus_tpu.data.conversions",
+    "port": "fluidnexus_tpu.pipelines.port_drill",
     "evaluate_adm": "fluidnexus_tpu.utils.adm_metrics",
     "bench": None,
 }

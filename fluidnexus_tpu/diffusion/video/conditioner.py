@@ -64,12 +64,28 @@ class T5TextEncoder:
 
 
 def make_text_encoder(model_dir: Optional[str] = None, max_length: int = 226,
-                      hidden: int = 4096):
+                      hidden: int = 4096, allow_fake: bool = False):
+    """Real-weights T5 (modules.py:233) or — with EXPLICIT opt-in — the hash
+    stand-in. A mispointed ``model_dir`` used to degrade to pseudo-embeddings
+    with only a print, silently producing garbage refinements; now it raises
+    unless ``allow_fake`` (the CLIs' --allow_fake_conditioning / --tiny)."""
     if model_dir:
         try:
             return T5TextEncoder(model_dir, max_length)
         except Exception as e:  # missing weights / tokenizer
+            if not allow_fake:
+                raise RuntimeError(
+                    f"T5 weights at {model_dir!r} are unusable ({e}). Point "
+                    "--t5_dir at a HF t5-v1_1-xxl directory, or pass "
+                    "--allow_fake_conditioning to run with hash "
+                    "pseudo-embeddings (test/smoke only — outputs will NOT "
+                    "follow the prompt)") from e
             print(f"[conditioner] T5 unavailable ({e}); using hash fallback")
+    elif not allow_fake:
+        raise RuntimeError(
+            "no T5 weights configured: pass --t5_dir <hf t5-v1_1-xxl dir>, "
+            "or --allow_fake_conditioning to accept hash pseudo-embeddings "
+            "(test/smoke only — outputs will NOT follow the prompt)")
     return HashTextEncoder(max_length, hidden)
 
 

@@ -158,6 +158,10 @@ def main(argv=None):
     ap.add_argument("--dp", type=int, default=1,
                     help="data-parallel shards (the batch-2 CFG forward)")
     ap.add_argument("--tiny", action="store_true", help="tiny random model (smoke test)")
+    ap.add_argument("--allow_fake_conditioning", action="store_true",
+                    help="run without real T5 weights using hash "
+                         "pseudo-embeddings (test/smoke only; implied "
+                         "by --tiny)")
     ap.add_argument("--pack_video", action="store_true",
                     help="also pack the refined frames into a video file")
     ap.add_argument("--fps", type=int, default=8)
@@ -192,7 +196,9 @@ def main(argv=None):
         mesh = make_mesh(args.dp * args.tp, dp=args.dp, tp=args.tp)
         params, vae_params = engine.shard_for_generation(params, vae_params, mesh)
 
-    enc = make_text_encoder(args.t5_dir or None, max_length=dit_cfg.text_length, hidden=txt_hidden)
+    enc = make_text_encoder(args.t5_dir or None, max_length=dit_cfg.text_length,
+                            hidden=txt_hidden,
+                            allow_fake=args.allow_fake_conditioning or args.tiny)
     text_emb = enc([args.prompt])
     uc_text_emb = jnp.zeros_like(text_emb)
 

@@ -154,7 +154,9 @@ def train(args, log=print):
                         weight_decay=t.weight_decay))
     else:
         opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(args.lr))
-    enc = make_text_encoder(args.t5_dir or None, max_length=dit_cfg.text_length, hidden=txt_hidden)
+    enc = make_text_encoder(args.t5_dir or None, max_length=dit_cfg.text_length,
+                            hidden=txt_hidden,
+                            allow_fake=args.allow_fake_conditioning or args.tiny)
     ds = make_video_dataset(args.data_root, args.num_frames, args.height, args.width)
     rng_np = np.random.default_rng(args.seed)
 
@@ -392,6 +394,10 @@ def build_argparser():
     ap.add_argument("--log_every", type=int, default=50)
     ap.add_argument("--save_every", type=int, default=1000)
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--allow_fake_conditioning", action="store_true",
+                    help="run without real T5 weights using hash "
+                         "pseudo-embeddings (test/smoke only; implied "
+                         "by --tiny)")
     ap.add_argument("--profile_dir", default="",
                     help="write an XLA profiler trace of the run here "
                          "(view in TensorBoard's Profile tab)")

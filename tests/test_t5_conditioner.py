@@ -50,9 +50,20 @@ def test_t5_text_encoder_loads_and_encodes(tiny_t5_dir):
     assert np.abs(out[0] - other[0]).max() > 1e-4
 
 
-def test_missing_dir_falls_back_to_hash():
+def test_missing_weights_fail_loudly_without_optin():
+    """A mispointed --t5_dir (or none at all) must RAISE, not silently emit
+    hash pseudo-embeddings; --allow_fake_conditioning restores the fallback
+    (test/smoke use). Guards the real-weights path of modules.py:233."""
+    import pytest
+
     from fluidnexus_tpu.diffusion.video.conditioner import HashTextEncoder, make_text_encoder
 
-    enc = make_text_encoder("/nonexistent/t5", max_length=4, hidden=16)
+    with pytest.raises(RuntimeError, match="allow_fake_conditioning"):
+        make_text_encoder("/nonexistent/t5", max_length=4, hidden=16)
+    with pytest.raises(RuntimeError, match="allow_fake_conditioning"):
+        make_text_encoder(None, max_length=4, hidden=16)
+
+    enc = make_text_encoder("/nonexistent/t5", max_length=4, hidden=16,
+                            allow_fake=True)
     assert isinstance(enc, HashTextEncoder)
     assert np.asarray(enc(["x"])).shape == (1, 4, 16)

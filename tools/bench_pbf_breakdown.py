@@ -53,7 +53,7 @@ def main():
     print(f"build_dense_grid      {t_build:7.2f} ms")
 
     gath = jax.jit(lambda g: pbf_pallas._gathers(g))
-    t_gath = timeit(lambda: gath(grid)[3].sum())
+    t_gath = timeit(lambda: gath(grid)[2].sum())
     print(f"_gathers              {t_gath:7.2f} ms")
 
     gathered = gath(grid)
