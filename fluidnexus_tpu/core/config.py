@@ -297,6 +297,10 @@ class Config:
     # on TPU this flips jax_debug_nans so the first non-finite value raises
     # with the offending primitive instead of poisoning the fit
     detect_anomaly: bool = False
+    # raise (instead of warn) when the static neighbor-grid capacities drop
+    # points — the reference's dynamic torch_cluster never truncates, so a
+    # capacity overflow here is a silent physics divergence
+    strict_capacity: bool = False
     test_iteration: int = 30000
     test_iterations: List[int] = field(default_factory=lambda: [7000, 15000, 30000])
     save_iterations: List[int] = field(default_factory=lambda: [7000, 15000, 30000])
@@ -314,7 +318,7 @@ def _apply_overrides(cfg: Config, overrides: dict) -> List[str]:
     # note: top-level Config fields exclude the section names themselves —
     # the reference's flat "model": "gm_dynamics" key belongs to ModelConfig
     top_fields = {"config", "seed", "test_iteration", "test_iterations",
-                  "save_iterations", "detect_anomaly"}
+                  "save_iterations", "detect_anomaly", "strict_capacity"}
     for key, value in overrides.items():
         if key in top_fields:
             setattr(cfg, key, value)
@@ -380,6 +384,7 @@ def parse_cli(argv=None, description="fluidnexus_tpu") -> Config:
                 parser.add_argument(flag, default=default)
     parser.add_argument("--seed", type=int, default=argparse.SUPPRESS)
     parser.add_argument("--detect_anomaly", action="store_true", default=argparse.SUPPRESS)
+    parser.add_argument("--strict_capacity", action="store_true", default=argparse.SUPPRESS)
     parser.add_argument("--test_iterations", nargs="+", type=int, default=argparse.SUPPRESS)
     parser.add_argument("--save_iterations", nargs="+", type=int, default=argparse.SUPPRESS)
     args = parser.parse_args(argv)

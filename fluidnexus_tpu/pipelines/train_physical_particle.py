@@ -36,6 +36,7 @@ from fluidnexus_tpu.sim.pbf_dense import project_gas_constraints_dense
 from fluidnexus_tpu.sim.pbf import (
     PBFParams, confirm_guess, density_ratio_at, guess_from_nn, guess_hidden,
     project_gas_constraints, remove_invalid, splat_velocity_to_points, visual_xyz_from_nn,
+    warn_capacity_overflow,
 )
 from fluidnexus_tpu.sim.state import ParticleState, VisualState, make_particle_state, make_visual_state
 from fluidnexus_tpu.splat.dynamics import (
@@ -300,6 +301,8 @@ def train(cfg: Config, scene_info=None, writer=None, log=print, resume_from_fram
     for _ in range(o.stable_iterations):
         state = remove_invalid(state, params)
         state, diags = solver_tick(state, params, o.solver_iterations, use_wind=False, stable=True)
+        warn_capacity_overflow(diags, "phase B stabilization",
+                               strict=cfg.strict_capacity, log=log)
         state = confirm_guess(state, params)
     if ckpt_path:
         save_hidden(state, params, ckpt_path, 0)
@@ -348,6 +351,8 @@ def _phase_c(cfg, scene_info, state, visual, attrs, bg, raster_cfg, params,
         visual = emit_visual(visual, new_v, mask=vmask)
 
         state, diags = solver_tick(state, params, o.solver_iterations, use_wind)
+        warn_capacity_overflow(diags, f"frame {t} simulate",
+                               strict=cfg.strict_capacity, log=log)
         if writer:
             for k, v in diags.items():
                 writer.add_scalar(f"sim_frame_{t:03d}/{k}", float(np.asarray(v)[-1]), t)

@@ -208,6 +208,30 @@ def project_gas_constraints(state: ParticleState, params: PBFParams,
     return state._replace(estimate_xyz=est, force=force), diagnostics
 
 
+def warn_capacity_overflow(diags, context: str, strict: bool = False,
+                           log=print) -> int:
+    """Surface neighbor-grid capacity overflow as a pipeline-level warning.
+
+    The static-capacity grids (dense_max_cells / dense_cell_capacity on the
+    dense path, cell_capacity / knn_k on the padded path) DROP pairs when a
+    scene exceeds them — physics degrades silently where the reference's
+    dynamic torch_cluster allocation (gm_dynamics.py:10) never truncates.
+    Call after a solver tick with its stacked ``diags``; returns the total
+    dropped-point count. ``strict`` raises instead (--strict_capacity).
+    """
+    ov = diags.get("overflow")
+    total = int(np.sum(np.asarray(ov))) if ov is not None else 0
+    if total > 0:
+        msg = (f"[capacity] {context}: neighbor grid dropped {total} "
+               "point-slots this tick — pair sums are missing particles. "
+               "Raise dense_max_cells / dense_cell_capacity (dense path) or "
+               "cell_capacity / KNN_K (padded path) to cover the scene.")
+        if strict:
+            raise RuntimeError(msg + " (--strict_capacity raised)")
+        log(msg)
+    return total
+
+
 def solver_loop(state: ParticleState, params: PBFParams, iterations: int,
                 rigid: Optional["RigidBody"] = None, dense: bool = True):
     """N Jacobi iterations with the reference's counts schedule (the train

@@ -126,6 +126,33 @@ def test_pallas_matches_xla():
                                    rtol=1e-4, atol=1e-5, err_msg=key)
 
 
+def test_overflow_surfaces_as_pipeline_warning():
+    """An over-capacity scene must WARN at the pipeline level (and raise
+    under strict) instead of only ticking a TB scalar — the reference's
+    dynamic torch_cluster (gm_dynamics.py:10) never truncates, so silent
+    drops here are a physics divergence."""
+    import pytest
+
+    from fluidnexus_tpu.sim.pbf import warn_capacity_overflow
+
+    params = PBFParams(h=2.0, dense_max_cells=64, dense_cell_capacity=4)
+    st = _mk_state(200, 256, seed=7, spread=1.5)
+    _, d = project_gas_constraints_dense(st, params)
+    # stacked like a solver_tick scan would deliver them
+    diags = {k: np.asarray(v)[None] for k, v in d.items()}
+    msgs = []
+    n = warn_capacity_overflow(diags, "test tick", log=msgs.append)
+    assert n > 0 and msgs and "dense_cell_capacity" in msgs[0]
+    with pytest.raises(RuntimeError, match="strict_capacity"):
+        warn_capacity_overflow(diags, "test tick", strict=True)
+    # a comfortably-sized grid stays silent
+    params_ok = PBFParams(h=2.0, dense_max_cells=256, dense_cell_capacity=64)
+    _, d_ok = project_gas_constraints_dense(st, params_ok)
+    msgs_ok = []
+    assert warn_capacity_overflow(d_ok, "ok", log=msgs_ok.append) == 0
+    assert not msgs_ok
+
+
 def test_dense_projection_overflow_counted():
     # capacity 4 with ~50 points per cell must report drops, not crash
     params = PBFParams(h=2.0, dense_max_cells=64, dense_cell_capacity=4)
