@@ -163,6 +163,62 @@ def main():
         "vs_baseline": round(tps / 30.0, 4),  # ~30 ticks/s = 1 frame-tick in 33ms realtime
     }))
 
+    # FULL reconstruction fit step (train_physical_particle phase C): camera
+    # batch render fwd+bwd + exyz/gas PBF losses + Adam — the per-iteration
+    # unit of the core stage. Cameras/s so multi-chip camera-DP (pipe.dp)
+    # scales the same metric. Secondary line, printed before the headline.
+    from fluidnexus_tpu.core.config import Config
+    from fluidnexus_tpu.core.optim import adam_init
+    from fluidnexus_tpu.pipelines.train_physical_particle import (
+        _cam_tensors, make_current_frame_step, pbf_params_from_config)
+    from fluidnexus_tpu.sim.state import make_visual_state
+    from fluidnexus_tpu.splat.dynamics import constant_visual_attrs
+
+    rcfg = Config()
+    rcfg.optim.H = 2.0
+    rcfg.optim.lambda_current_distance = 0.0  # ref smoke configs disable it
+    rparams = pbf_params_from_config(rcfg)
+    n_cam = 2
+    rcams = []
+    for i in range(n_cam):
+        Ti = -R.T @ np.array([0.12 * i, 0.0, 3.0])
+        rcams.append(Camera(uid=i, R=R, T=Ti, fovx=0.9, fovy=0.6,
+                            width=width, height=height))
+    rviews, rprojs, rfovs = _cam_tensors(rcams)
+    rgts = jnp.zeros((n_cam, 3, height, width), jnp.float32)
+    rstate = pstate
+    rvisual = make_visual_state(32768, jnp.asarray(px[:28000], jnp.float32))
+    rattrs = constant_visual_attrs(32768, channels=1)
+    stepC = make_current_frame_step(None, cfg, width, height, rparams,
+                                    rcfg.optim, 3, mesh=None)
+    nn0 = rstate.estimate_xyz / rparams.scale_factor
+    wv = jnp.ones(n_cam, jnp.float32)
+    iw = jnp.float32(1.0 / n_cam)
+    lr0 = jnp.float32(1e-4)
+
+    def recon_iter(nn, opt):
+        return stepC(nn, opt, rstate, rvisual, rattrs,
+                     (rviews, rprojs, rfovs), rgts, lr0, wv, iw)
+
+    nn, optC, _, _ = recon_iter(nn0.copy(), adam_init({"nn": nn0}))
+    jax.block_until_ready(nn)
+    cps = 0.0
+    r_iters = 10
+    for _ in range(2):
+        nn, optC = nn0.copy(), adam_init({"nn": nn0})
+        t0 = time.perf_counter()
+        for _ in range(r_iters):
+            nn, optC, rloss, _ = recon_iter(nn, optC)
+        jax.block_until_ready(nn)
+        cps = max(cps, n_cam * r_iters / (time.perf_counter() - t0))
+    print(json.dumps({
+        "metric": "recon_step_cameras_per_sec",
+        "value": round(cps, 3),
+        "unit": ("cameras/s (phase-C fit step: 2-cam render fwd+bwd + exyz/gas "
+                 f"losses + adam, 28k particles, 960x544, {backend}, 1 chip)"),
+        "vs_baseline": round(cps / 100.0, 4),  # vs the A100 raster ballpark
+    }))
+
     print(json.dumps({
         "metric": "train_step_iters_per_sec",
         "value": round(ips, 3),

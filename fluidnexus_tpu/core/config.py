@@ -284,6 +284,12 @@ class PipelineConfig:
     tile_y: int = 16
     chunk: int = 32
     backend: str = "auto"   # xla | pallas | auto (pallas kernels on TPU)
+    # camera data-parallelism for the reconstruction stages: shard the
+    # per-iteration camera batch over `dp` chips ('data' mesh axis), psum the
+    # position grads into one replicated Adam step. The reference is strictly
+    # single-GPU here (train_physical_particle.py:45); this is the SPMD
+    # improvement SURVEY §2.6 calls out.
+    dp: int = 1
 
 
 @dataclass

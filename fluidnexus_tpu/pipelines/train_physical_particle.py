@@ -99,32 +99,63 @@ def solver_tick(state: ParticleState, params: PBFParams, solver_iterations: int,
 
 def make_first_frame_step(bg: Optional[BackgroundSplats], raster_cfg, width, height,
                           lambda_dssim, lambda_first_distance, distance_threshold_visual,
-                          channels: int):
+                          channels: int, mesh=None):
+    """Phase-A fit step. With ``mesh`` (a 'data'-axis Mesh), the camera batch
+    is sharded one-sub-batch-per-chip (shard_map) and the position grads are
+    ``psum``'d into one replicated Adam step — exact weighted-sum parity with
+    the single-device step (tests/test_recon_dp.py). ``w`` carries per-camera
+    weights (0 for padding slots when the batch doesn't divide by dp) and
+    ``inv_w`` = 1 / (number of real cameras)."""
+    dp = int(mesh.shape["data"]) if mesh is not None else 1
+
+    def loss_fn(vxyz, alive, attrs, cams, gts, w, inv_w):
+        def one(cam_view, cam_proj, fovs, gt):
+            out = render_particles_with_background(
+                vxyz, alive, attrs, bg,
+                view_matrix=cam_view, proj_matrix=cam_proj,
+                tan_fovx=fovs[0], tan_fovy=fovs[1], width=width, height=height,
+                bg_color=jnp.zeros(3 if bg is not None else channels),
+                config=raster_cfg,
+            )
+            img = to_gray3(out.color)
+            gtg = to_gray3(gt)
+            l1v = l1_loss(img, gtg)
+            sv = 1.0 - ssim(img, gtg)
+            return (1.0 - lambda_dssim) * l1v + lambda_dssim * sv, l1v
+
+        losses, l1s = jax.vmap(one)(*cams, gts)
+        # weighted partial sums: psum over 'data' restores the global mean
+        loss = (losses * w).sum() * inv_w
+        if lambda_first_distance > 0:
+            # camera-independent term: computed identically on every shard,
+            # scaled by 1/dp so the psum restores the single value
+            loss = loss + (lambda_first_distance / dp) * distance_penalty(
+                vxyz, alive, distance_threshold_visual)
+        return loss, (l1s * w).sum() * inv_w
+
+    def grads(vxyz, alive, attrs, cams, gts, w, inv_w):
+        (loss, l1v), grad = jax.value_and_grad(loss_fn, has_aux=True)(
+            vxyz, alive, attrs, cams, gts, w, inv_w)
+        return loss, l1v, grad
+
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        inner = grads
+
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(), P(), P(), P("data"), P("data"), P("data"), P()),
+            out_specs=P(), check_vma=False)
+        def grads(vxyz, alive, attrs, cams, gts, w, inv_w):
+            loss, l1v, grad = inner(vxyz, alive, attrs, cams, gts, w, inv_w)
+            return (jax.lax.psum(loss, "data"), jax.lax.psum(l1v, "data"),
+                    jax.lax.psum(grad, "data"))
+
     @jax.jit
-    def step(visual_xyz, alive, attrs: VisualAttrs, opt: AdamState, cams, gts, lr):
-        def loss_fn(vxyz):
-            def one(cam_view, cam_proj, fovs, gt):
-                out = render_particles_with_background(
-                    vxyz, alive, attrs, bg,
-                    view_matrix=cam_view, proj_matrix=cam_proj,
-                    tan_fovx=fovs[0], tan_fovy=fovs[1], width=width, height=height,
-                    bg_color=jnp.zeros(3 if bg is not None else channels),
-                    config=raster_cfg,
-                )
-                img = to_gray3(out.color)
-                gtg = to_gray3(gt)
-                l1v = l1_loss(img, gtg)
-                sv = 1.0 - ssim(img, gtg)
-                return (1.0 - lambda_dssim) * l1v + lambda_dssim * sv, l1v
-
-            losses, l1s = jax.vmap(one)(*cams, gts)
-            loss = losses.mean()
-            if lambda_first_distance > 0:
-                loss = loss + lambda_first_distance * distance_penalty(
-                    vxyz, alive, distance_threshold_visual)
-            return loss, l1s.mean()
-
-        (loss, l1v), grad = jax.value_and_grad(loss_fn, has_aux=True)(visual_xyz)
+    def step(visual_xyz, alive, attrs: VisualAttrs, opt: AdamState, cams, gts, lr, w, inv_w):
+        loss, l1v, grad = grads(visual_xyz, alive, attrs, cams, gts, w, inv_w)
         new, opt = adam_step({"xyz": visual_xyz}, {"xyz": grad}, opt, {"xyz": lr})
         return new["xyz"], opt, loss, l1v
 
@@ -135,60 +166,85 @@ def make_first_frame_step(bg: Optional[BackgroundSplats], raster_cfg, width, hei
 
 
 def make_current_frame_step(bg: Optional[BackgroundSplats], raster_cfg, width, height,
-                            params: PBFParams, o, channels: int):
+                            params: PBFParams, o, channels: int, mesh=None):
+    """Phase-C fit step. ``mesh`` shards the camera batch over the 'data'
+    axis (see make_first_frame_step); the camera-independent particle-space
+    terms (exyz / gas / distance) run replicated, scaled by 1/dp so the grad
+    psum is exact."""
     lambda_dssim = o.lambda_dssim
+    dp = int(mesh.shape["data"]) if mesh is not None else 1
+
+    def loss_fn(nn, state, visual, attrs, cams, gts, w, inv_w):
+        vxyz_scaled = visual_xyz_from_nn(visual.xyz, visual.alive, nn, state, params)
+        vxyz_world = vxyz_scaled / params.scale_factor
+
+        def one(cam_view, cam_proj, fovs, gt):
+            out = render_particles_with_background(
+                vxyz_world, visual.alive, attrs, bg,
+                view_matrix=cam_view, proj_matrix=cam_proj,
+                tan_fovx=fovs[0], tan_fovy=fovs[1], width=width, height=height,
+                bg_color=jnp.zeros(3 if bg is not None else channels),
+                config=raster_cfg,
+            )
+            img = to_gray3(out.color)
+            gtg = to_gray3(gt)
+            l1v = l1_loss(img, gtg)
+            sv = 1.0 - ssim(img, gtg)
+            return (1.0 - lambda_dssim) * l1v + lambda_dssim * sv, l1v
+
+        img_losses, l1s = jax.vmap(one)(*cams, gts)
+        loss = o.lambda_image * (img_losses * w).sum() * inv_w
+        aux = {"l1": (l1s * w).sum() * inv_w}
+
+        if o.lambda_current_distance > 0:
+            loss = loss + (o.lambda_current_distance / dp) * distance_penalty(
+                vxyz_world, visual.alive, o.distance_threshold_visual)
+        if o.lambda_exyz > 0:
+            # masked MSE over alive particles (ref :371-373)
+            diff = (nn * params.scale_factor - state.estimate_xyz) ** 2
+            exyz_v = jnp.sum(jnp.where(state.alive[:, None], diff, 0.0)) / (
+                jnp.maximum(state.alive.sum(), 1) * 3) / dp
+            loss = loss + o.lambda_exyz * exyz_v
+            aux["exyz"] = exyz_v
+        if o.lambda_gas_constraints > 0:
+            ratio = density_ratio_at(nn * params.scale_factor, state.alive, state.imass, params)
+            gas_v = jnp.sum(jnp.where(state.alive, (ratio - 1.0) ** 2, 0.0)) / jnp.maximum(
+                state.alive.sum(), 1) / dp
+            loss = loss + o.lambda_gas_constraints * gas_v
+            aux["gas"] = gas_v
+        if o.lambda_next_gas_constraints > 0:
+            nxt = guess_from_nn(nn, state, params)
+            ratio2 = density_ratio_at(nxt, state.alive, state.imass, params)
+            gas2_v = jnp.sum(jnp.where(state.alive, (ratio2 - 1.0) ** 2, 0.0)) / jnp.maximum(
+                state.alive.sum(), 1) / dp
+            loss = loss + o.lambda_next_gas_constraints * gas2_v
+            aux["next_gas"] = gas2_v
+        return loss, aux
+
+    def grads(nn, state, visual, attrs, cams, gts, w, inv_w):
+        (loss, aux), grad = jax.value_and_grad(loss_fn, has_aux=True)(
+            nn, state, visual, attrs, cams, gts, w, inv_w)
+        return loss, aux, grad
+
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        inner = grads
+
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P("data"), P("data"), P("data"), P()),
+            out_specs=P(), check_vma=False)
+        def grads(nn, state, visual, attrs, cams, gts, w, inv_w):
+            loss, aux, grad = inner(nn, state, visual, attrs, cams, gts, w, inv_w)
+            psum = lambda t: jax.tree.map(lambda x: jax.lax.psum(x, "data"), t)  # noqa: E731
+            return psum(loss), psum(aux), psum(grad)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(exyz_nn, opt: AdamState, state: ParticleState, visual: VisualState,
-             attrs: VisualAttrs, cams, gts, lr):
-        def loss_fn(nn):
-            vxyz_scaled = visual_xyz_from_nn(visual.xyz, visual.alive, nn, state, params)
-            vxyz_world = vxyz_scaled / params.scale_factor
-
-            def one(cam_view, cam_proj, fovs, gt):
-                out = render_particles_with_background(
-                    vxyz_world, visual.alive, attrs, bg,
-                    view_matrix=cam_view, proj_matrix=cam_proj,
-                    tan_fovx=fovs[0], tan_fovy=fovs[1], width=width, height=height,
-                    bg_color=jnp.zeros(3 if bg is not None else channels),
-                    config=raster_cfg,
-                )
-                img = to_gray3(out.color)
-                gtg = to_gray3(gt)
-                l1v = l1_loss(img, gtg)
-                sv = 1.0 - ssim(img, gtg)
-                return (1.0 - lambda_dssim) * l1v + lambda_dssim * sv, l1v
-
-            img_losses, l1s = jax.vmap(one)(*cams, gts)
-            loss = o.lambda_image * img_losses.mean()
-            aux = {"l1": l1s.mean()}
-
-            if o.lambda_current_distance > 0:
-                loss = loss + o.lambda_current_distance * distance_penalty(
-                    vxyz_world, visual.alive, o.distance_threshold_visual)
-            if o.lambda_exyz > 0:
-                # masked MSE over alive particles (ref :371-373)
-                diff = (nn * params.scale_factor - state.estimate_xyz) ** 2
-                exyz_v = jnp.sum(jnp.where(state.alive[:, None], diff, 0.0)) / (
-                    jnp.maximum(state.alive.sum(), 1) * 3)
-                loss = loss + o.lambda_exyz * exyz_v
-                aux["exyz"] = exyz_v
-            if o.lambda_gas_constraints > 0:
-                ratio = density_ratio_at(nn * params.scale_factor, state.alive, state.imass, params)
-                gas_v = jnp.sum(jnp.where(state.alive, (ratio - 1.0) ** 2, 0.0)) / jnp.maximum(
-                    state.alive.sum(), 1)
-                loss = loss + o.lambda_gas_constraints * gas_v
-                aux["gas"] = gas_v
-            if o.lambda_next_gas_constraints > 0:
-                nxt = guess_from_nn(nn, state, params)
-                ratio2 = density_ratio_at(nxt, state.alive, state.imass, params)
-                gas2_v = jnp.sum(jnp.where(state.alive, (ratio2 - 1.0) ** 2, 0.0)) / jnp.maximum(
-                    state.alive.sum(), 1)
-                loss = loss + o.lambda_next_gas_constraints * gas2_v
-                aux["next_gas"] = gas2_v
-            return loss, aux
-
-        (loss, aux), grad = jax.value_and_grad(loss_fn, has_aux=True)(exyz_nn)
+             attrs: VisualAttrs, cams, gts, lr, w, inv_w):
+        loss, aux, grad = grads(exyz_nn, state, visual, attrs, cams, gts, w, inv_w)
         grad = jnp.where(state.alive[:, None], grad, 0.0)
         new, opt = adam_step({"nn": exyz_nn}, {"nn": grad}, opt, {"nn": lr})
         return new["nn"], opt, loss, aux
@@ -204,6 +260,31 @@ def _cam_tensors(cams: List[Camera]):
     projs = jnp.stack([jnp.asarray(c.full_proj) for c in cams])
     fovs = jnp.asarray([[c.tan_fovx, c.tan_fovy] for c in cams], jnp.float32)
     return views, projs, fovs
+
+
+def _recon_mesh(cfg: Config):
+    """'data'-axis mesh for camera data-parallelism (pipe.dp chips)."""
+    if cfg.pipe.dp <= 1:
+        return None
+    from fluidnexus_tpu.parallel.mesh import make_mesh
+
+    n = jax.device_count()
+    if n < cfg.pipe.dp:
+        raise ValueError(f"--dp {cfg.pipe.dp} but only {n} devices visible")
+    return make_mesh(n_devices=cfg.pipe.dp, dp=cfg.pipe.dp, tp=1, time=1)
+
+
+def _select_batch(rng, n_cams: int, batch: int, dp: int):
+    """Camera mini-batch of size min(batch, n_cams), padded up to a multiple
+    of dp with zero-weight repeats so the shard_map split is even. Returns
+    (indices, weights, 1/realcount)."""
+    b = min(batch, n_cams)
+    sel = rng.choice(n_cams, size=b, replace=False)
+    pad = (-b) % dp
+    if pad:
+        sel = np.concatenate([sel, np.repeat(sel[:1], pad)])
+    w = np.concatenate([np.ones(b, np.float32), np.zeros(pad, np.float32)])
+    return sel, jnp.asarray(w), jnp.float32(1.0 / b)
 
 
 def _gts(cams: List[Camera], channels: int):
@@ -266,8 +347,10 @@ def train(cfg: Config, scene_info=None, writer=None, log=print, resume_from_fram
     visual = make_visual_state(m.visual_capacity, jnp.asarray(vis_pts))
     attrs = constant_visual_attrs(m.visual_capacity, channels=1)
 
+    mesh = _recon_mesh(cfg)
     stepA = make_first_frame_step(bg, raster_cfg, width, height, o.lambda_dssim,
-                                  o.lambda_first_distance, o.distance_threshold_visual, channels)
+                                  o.lambda_first_distance, o.distance_threshold_visual, channels,
+                                  mesh=mesh)
     optA = adam_init({"xyz": visual.xyz})
     cviews, cprojs, cfovs = _cam_tensors(train_by_t[0])
     gts0 = _gts(train_by_t[0], channels)
@@ -279,10 +362,10 @@ def train(cfg: Config, scene_info=None, writer=None, log=print, resume_from_fram
         lr = expon_lr(it, o.position_lr_init * extent * o.pos_lr_scale_factor,
                       o.position_lr_final * extent,
                       lr_delay_mult=o.position_lr_delay_mult, max_steps=o.position_lr_max_steps)
-        sel = rng.choice(len(train_by_t[0]), size=min(o.batch, len(train_by_t[0])), replace=False)
+        sel, w, inv_w = _select_batch(rng, len(train_by_t[0]), o.batch, cfg.pipe.dp)
         cams_b = (cviews[sel], cprojs[sel], cfovs[sel])
         vxyz, optA, loss, l1v = stepA(vxyz, visual.alive, attrs, optA, cams_b, gts0[sel],
-                                      jnp.asarray(lr, jnp.float32))
+                                      jnp.asarray(lr, jnp.float32), w, inv_w)
         if writer and it % 50 == 0:
             writer.add_scalar("train_loss_frame_000/total", float(loss), it)
     visual = visual._replace(xyz=vxyz)
@@ -325,7 +408,9 @@ def _phase_c(cfg, scene_info, state, visual, attrs, bg, raster_cfg, params,
     extent = scene_info.nerf_normalization["radius"]
 
     emitters = EmitterPoints.from_config(m)
-    stepC = make_current_frame_step(bg, raster_cfg, width, height, params, o, channels)
+    mesh = _recon_mesh(cfg)
+    stepC = make_current_frame_step(bg, raster_cfg, width, height, params, o, channels,
+                                    mesh=mesh)
     metrics_per_frame = []
     # static emission capacities so the jitted emit path compiles once
     hid_cap = max(int(np.ceil(o.emit_ratio_hidden)) * max(len(emitters.hidden), 1), 1)
@@ -376,10 +461,11 @@ def _phase_c(cfg, scene_info, state, visual, attrs, bg, raster_cfg, params,
                           o.position_lr_final * extent,
                           lr_delay_mult=o.position_lr_delay_mult,
                           max_steps=o.position_lr_max_steps)
-            sel = rng.choice(len(cur_cams), size=min(o.batch, len(cur_cams)), replace=False)
+            sel, w, inv_w = _select_batch(rng, len(cur_cams), o.batch, cfg.pipe.dp)
             cams_b = (cviews[sel], cprojs[sel], cfovs[sel])
             exyz_nn, optC, loss, aux = stepC(exyz_nn, optC, state, visual, attrs,
-                                             cams_b, gts[sel], jnp.asarray(lr, jnp.float32))
+                                             cams_b, gts[sel], jnp.asarray(lr, jnp.float32),
+                                             w, inv_w)
         if writer:
             writer.add_scalar(f"train_loss_frame_{t:03d}/total", float(loss), t)
 
