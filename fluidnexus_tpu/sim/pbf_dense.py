@@ -133,6 +133,13 @@ def project_gas_constraints_dense(state: ParticleState, params: PBFParams,
         return (pi, sg, c2d2, nlen, s_p6, s_edges), None
 
     if backend == "pallas":
+        from fluidnexus_tpu.sim.pbf_pallas import _planes, phase1_slots_v2
+        planes = _planes(grid)
+        pi_s, sg_s, c2d2_s, nlen_s, s_p6, s_edges = phase1_slots_v2(
+            grid, float(params.h), float(params.epsilon),
+            float(params.poly6_term1), float(params.spiky_grad_term1),
+            planes=planes)
+    elif backend == "pallas_v1":
         from fluidnexus_tpu.sim.pbf_pallas import _gathers, phase1_slots
         gathered = _gathers(grid)
         pi_s, sg_s, c2d2_s, nlen_s, s_p6, s_edges = phase1_slots(
@@ -187,6 +194,13 @@ def project_gas_constraints_dense(state: ParticleState, params: PBFParams,
         return (dsum, s_corr, s_ns), None
 
     if backend == "pallas":
+        from fluidnexus_tpu.sim.pbf_pallas import phase2_slots_v2
+        dsum_s, s_corr, s_ns = phase2_slots_v2(
+            grid, lam_s, float(params.h), float(params.epsilon),
+            float(params.poly6_term1), float(params.spiky_grad_term1),
+            float(params.k_p), float(params.e_p), float(1.0 / denom),
+            planes=planes)
+    elif backend == "pallas_v1":
         from fluidnexus_tpu.sim.pbf_pallas import phase2_slots
         dsum_s, s_corr, s_ns = phase2_slots(
             grid, lam_s, float(params.h), float(params.epsilon),

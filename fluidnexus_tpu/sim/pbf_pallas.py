@@ -38,6 +38,18 @@ In-kernel unit assignment (device-measured):
 - global diagnostics (s_p6, s_edges, s_corr, s_ns): recovered in XLA from
   the zeroed per-row outputs instead of (1,1) in-kernel accumulators.
 
+v2 kernels (current default): the v1 kernels consumed an XLA-pre-gathered
+(C, 81, M) neighbor-coordinate tensor; the device trace
+(tools/xplane_summary.py) pinned that gather at ~8.7 ms + a ~4.8 ms layout
+copy per projection — 55k small row-DMAs, latency-bound, HALF the projection
+cost. The whole (C+1, M) coordinate table is only ~3 MB, so the v2 kernels
+(``phase1_slots_v2`` / ``phase2_slots_v2``) keep the three per-component
+coordinate planes (and phase-2's lambda plane) RESIDENT IN VMEM and read
+neighbor rows with in-kernel dynamic loads indexed by the scalar-prefetched
+compacted ``nbr`` table (flattened 1-D: SMEM pads a 2-D minor dim to the
+128-lane width, which blows the 1 MB SMEM budget). Device A/B at the 28k
+bench workload: 34.3 -> 14.4 ms/projection, bit-identical outputs.
+
 Math parity: identical to pbf_dense._pair_terms except the spiky coefficient
 uses ``rsqrt(d2 + eps)`` for both the length and the reciprocal (one VPU
 transcendental instead of sqrt + divide); the relative difference vs the
@@ -220,6 +232,157 @@ def _phase2_kernel(h, eps, c6, s45, k_p, e_p, inv_denom, m, cnt_ref,
                     pl.when(cnt_ref[cell] > s * S)(strip)
 
 
+def _pair_wcg_rows(h, eps, c6, s45, xc, xsx, xsy, xsz, j, s0, S, m):
+    """_pair_wcg with the neighbor row held as three (1, m) component rows
+    (VMEM-resident-plane kernels) instead of one (3, m) block."""
+    dx0 = xc[:, 0:1] - xsx
+    dx1 = xc[:, 1:2] - xsy
+    dx2 = xc[:, 2:3] - xsz
+    d2 = dx0 * dx0 + dx1 * dx1 + dx2 * dx2
+    seye = None
+    if j == _SELF_J:
+        seye = (lax.broadcasted_iota(jnp.int32, (S, m), 0) + s0
+                == lax.broadcasted_iota(jnp.int32, (S, m), 1))
+        d2 = jnp.where(seye, 0.0, d2)
+    h2 = h * h
+    t2 = h2 - d2
+    w = jnp.where(d2 < h2, c6 * t2 * t2 * t2, 0.0)
+    inv = lax.rsqrt(d2 + eps)
+    rlen = (d2 + eps) * inv
+    hr = h - rlen
+    cg = jnp.where(rlen < h, (-s45) * hr * hr * inv, 0.0)
+    if j == _SELF_J:
+        cg = jnp.where(seye, 0.0, cg)
+    return d2, w, cg, seye
+
+
+def _phase1_kernel_v2(h, eps, c6, s45, m, cnt_ref, nbr_ref,
+                      xc_ref, xp_ref, yp_ref, zp_ref,
+                      pi_ref, sg_ref, c2_ref, nl_ref):
+    """Phase-1 with the WHOLE (C+1, M) coordinate planes resident in VMEM:
+    neighbor rows are in-kernel dynamic loads indexed by the scalar-prefetched
+    ``nbr`` table. Replaces the v1 (C, 81, M) XLA pre-gather, which the device
+    trace pinned at ~8.7 ms gather + ~4.8 ms layout copy per projection
+    (55k row-DMAs, latency-bound) — the planes total ~3 MB and are fetched
+    once."""
+    pid = pl.program_id(0)
+    pi_ref[...] = jnp.zeros(pi_ref.shape, pi_ref.dtype)
+    sg_ref[...] = jnp.zeros(sg_ref.shape, sg_ref.dtype)
+    c2_ref[...] = jnp.zeros(c2_ref.shape, c2_ref.dtype)
+    nl_ref[...] = jnp.zeros(nl_ref.shape, nl_ref.dtype)
+    h2 = h * h
+
+    for ci in range(CPB):
+        cell = pid * CPB + ci
+
+        @pl.when(cnt_ref[cell] > 0)
+        def _():
+            S = min(STRIP, m)
+            for s in range(m // S):
+                sl = slice(s * S, (s + 1) * S)
+
+                def strip(sl=sl, s=s):
+                    xc = xc_ref[ci, sl]                        # (S, 3)
+                    z = jnp.zeros((S, m), jnp.float32)
+                    wa, cga, c2a, nla = z, z, z, z
+                    bx0, bx1, bx2 = z, z, z
+                    for j in range(27):
+                        nb = nbr_ref[cell * 27 + j]
+                        sx, sy, sz = (float(v) * h for v in _OFFSETS[j])
+                        xsx = xp_ref[pl.ds(nb, 1), :] + sx     # (1, m)
+                        xsy = yp_ref[pl.ds(nb, 1), :] + sy
+                        xsz = zp_ref[pl.ds(nb, 1), :] + sz
+                        d2, w, cg, _ = _pair_wcg_rows(
+                            h, eps, c6, s45, xc, xsx, xsy, xsz, j, s * S, S, m)
+                        wa = wa + w
+                        cga = cga + cg
+                        c2a = c2a + cg * cg * d2
+                        nla = nla + (d2 <= h2).astype(jnp.float32)
+                        bx0 = bx0 + cg * xsx
+                        bx1 = bx1 + cg * xsy
+                        bx2 = bx2 + cg * xsz
+                    rs = lambda a: jnp.sum(a, axis=1, keepdims=True)
+                    pi_ref[ci, sl] += rs(wa)
+                    sg_ref[ci, sl] += rs(cga) * xc - jnp.concatenate(
+                        [rs(bx0), rs(bx1), rs(bx2)], axis=1)
+                    c2_ref[ci, sl] += rs(c2a)
+                    nl_ref[ci, sl] += rs(nla)
+
+                if s == 0:
+                    strip()
+                else:
+                    pl.when(cnt_ref[cell] > s * S)(strip)
+
+
+def _phase2_kernel_v2(h, eps, c6, s45, k_p, e_p, inv_denom, m, cnt_ref, nbr_ref,
+                      xc_ref, lamc_ref, xp_ref, yp_ref, zp_ref, lamp_ref,
+                      ds_ref, cr_ref, nsr_ref):
+    """Phase-2 twin of :func:`_phase1_kernel_v2`; the neighbor lambda row is a
+    dynamic load from the VMEM-resident (C+1, M) lambda plane (replaces the
+    v1 (C, 27, M) XLA lam gather)."""
+    pid = pl.program_id(0)
+    ds_ref[...] = jnp.zeros(ds_ref.shape, ds_ref.dtype)
+    cr_ref[...] = jnp.zeros(cr_ref.shape, cr_ref.dtype)
+    nsr_ref[...] = jnp.zeros(nsr_ref.shape, nsr_ref.dtype)
+    h2 = h * h
+    int_pow = float(e_p).is_integer() and 0 < int(e_p) <= 8
+
+    for ci in range(CPB):
+        cell = pid * CPB + ci
+
+        @pl.when(cnt_ref[cell] > 0)
+        def _():
+            S = min(STRIP, m)
+            for s in range(m // S):
+                sl = slice(s * S, (s + 1) * S)
+
+                def strip(sl=sl, s=s):
+                    xc = xc_ref[ci, sl]
+                    lamc = lamc_ref[ci, sl]                    # (S, 1)
+                    z = jnp.zeros((S, m), jnp.float32)
+                    ba, cra, nsa = z, z, z
+                    bx0, bx1, bx2 = z, z, z
+                    for j in range(27):
+                        nb = nbr_ref[cell * 27 + j]
+                        sx, sy, sz = (float(v) * h for v in _OFFSETS[j])
+                        xsx = xp_ref[pl.ds(nb, 1), :] + sx
+                        xsy = yp_ref[pl.ds(nb, 1), :] + sy
+                        xsz = zp_ref[pl.ds(nb, 1), :] + sz
+                        ln = lamp_ref[pl.ds(nb, 1), :]         # (1, m)
+                        d2, w, cg, seye = _pair_wcg_rows(
+                            h, eps, c6, s45, xc, xsx, xsy, xsz, j, s * S, S, m)
+                        if j == _SELF_J:
+                            w = jnp.where(seye, 0.0, w)
+                        wd = w * inv_denom
+                        if int_pow:
+                            acc = wd
+                            for _ in range(int(e_p) - 1):
+                                acc = acc * wd
+                            corr = -k_p * acc
+                        else:
+                            corr = -k_p * jnp.power(wd, e_p)
+                        b = (lamc + ln + corr) * cg
+                        mask_ns = (d2 <= h2).astype(jnp.float32)
+                        if j == _SELF_J:
+                            mask_ns = jnp.where(seye, 0.0, mask_ns)
+                        ba = ba + b
+                        cra = cra + corr * mask_ns
+                        nsa = nsa + mask_ns
+                        bx0 = bx0 + b * xsx
+                        bx1 = bx1 + b * xsy
+                        bx2 = bx2 + b * xsz
+                    rs = lambda a: jnp.sum(a, axis=1, keepdims=True)
+                    ds_ref[ci, sl] += rs(ba) * xc - jnp.concatenate(
+                        [rs(bx0), rs(bx1), rs(bx2)], axis=1)
+                    cr_ref[ci, sl] += rs(cra)
+                    nsr_ref[ci, sl] += rs(nsa)
+
+                if s == 0:
+                    strip()
+                else:
+                    pl.when(cnt_ref[cell] > s * S)(strip)
+
+
 _SENT_SCALE = 100.0   # dead-slot coordinate spacing (see _gathers)
 
 
@@ -338,5 +501,120 @@ def phase2_slots(grid: DenseGrid, lam_s, h, eps, c6, s45, k_p, e_p, inv_denom,
         ),
         interpret=_interpret(),
     )(cnt, xc, lamc, xng, lng)
+    ds, cr, nsr = out
+    return ds[:c], jnp.sum(cr), jnp.sum(nsr)
+
+
+def _planes(grid: DenseGrid):
+    """Sentinel-filled per-component coordinate planes (C+1, M) + counts —
+    the VMEM-resident inputs of the v2 kernels. Same sentinel scheme as
+    :func:`_gathers` (identical on all three components), so the dead-pair
+    exclusion math and the closed-form dead-diagonal corrections carry over
+    unchanged."""
+    c, m = grid.nbr.shape[0], grid.capacity
+    cnt = grid.bmask.sum(-1).astype(jnp.int32)             # (C+1,)
+    rows = jnp.arange(c + 1, dtype=jnp.int32)[:, None] * m
+    sent = ((rows + jnp.arange(m, dtype=jnp.int32)[None, :])
+            .astype(jnp.float32) * _SENT_SCALE)            # (C+1, M)
+    bs = jnp.where(grid.bmask[..., None], grid.bxyz, sent[..., None])
+    return cnt, bs, sent
+
+
+def _plane_parts(grid, planes):
+    cnt, bs, _ = planes
+    # bs already carries the sentinels — the component planes are plain slices
+    return cnt, bs, bs[..., 0], bs[..., 1], bs[..., 2]
+
+
+def _full(shape):
+    return pl.BlockSpec(shape, lambda i, *_: (0,) * len(shape),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "eps", "c6", "s45"))
+def phase1_slots_v2(grid: DenseGrid, h, eps, c6, s45, planes=None):
+    """v2 of :func:`phase1_slots`: no (C, 81, M) neighbor pre-gather — the
+    coordinate planes stay resident in VMEM and the kernel indexes them by
+    the scalar-prefetched compacted ``nbr`` table. Outputs identical."""
+    c, m = grid.nbr.shape[0], grid.capacity
+    cnt, bs, xp, yp, zp = _plane_parts(grid, _planes(grid) if planes is None
+                                       else planes)
+    xc = bs[:-1]
+    (xc,), cp = _pad_c([xc], c)
+    cntc = cnt[:-1]
+    cnt_p = jnp.pad(cntc, (0, cp - c))
+    nbr_p = jnp.pad(grid.nbr, ((0, cp - c), (0, 0)),
+                    constant_values=c).reshape(-1)  # 1-D: SMEM pads 2-D minor
+    g = cp // CPB
+    kern = functools.partial(_phase1_kernel_v2, float(h), float(eps), float(c6),
+                             float(s45), m)
+    blk = lambda *s: pl.BlockSpec((CPB,) + s, lambda i, *_: (i,) + (0,) * len(s),
+                                  memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(g,),
+            in_specs=[blk(m, 3), _full((c + 1, m)), _full((c + 1, m)),
+                      _full((c + 1, m))],
+            out_specs=(blk(m, 1), blk(m, 3), blk(m, 1), blk(m, 1)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((cp, m, 1), jnp.float32),
+            jax.ShapeDtypeStruct((cp, m, 3), jnp.float32),
+            jax.ShapeDtypeStruct((cp, m, 1), jnp.float32),
+            jax.ShapeDtypeStruct((cp, m, 1), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(cnt_p, nbr_p, xc, xp, yp, zp)
+    pi, sg, c2d2, nlen = out
+    s_eff = min(STRIP, m)
+    rows_done = jnp.minimum(-(-cntc // s_eff) * s_eff, m)
+    n_dead = jnp.sum(jnp.where(cntc > 0, rows_done - cntc, 0)
+                     ).astype(jnp.float32)
+    w_self = float(c6) * float(h) ** 6
+    return (pi[:c, :, 0], sg[:c], c2d2[:c, :, 0], nlen[:c, :, 0],
+            jnp.sum(pi) - n_dead * w_self, jnp.sum(nlen) - n_dead)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h", "eps", "c6", "s45", "k_p", "e_p",
+                                   "inv_denom"))
+def phase2_slots_v2(grid: DenseGrid, lam_s, h, eps, c6, s45, k_p, e_p,
+                    inv_denom, planes=None):
+    """v2 of :func:`phase2_slots`: VMEM-resident coordinate + lambda planes
+    with in-kernel neighbor reads (no (C, 27, M) lam gather)."""
+    c, m = grid.nbr.shape[0], grid.capacity
+    cnt, bs, xp, yp, zp = _plane_parts(grid, _planes(grid) if planes is None
+                                       else planes)
+    lam_pad = jnp.concatenate([lam_s, jnp.zeros((1, m), jnp.float32)], 0)
+    xc = bs[:-1]
+    lamc = lam_s[..., None]
+    (xc, lamc), cp = _pad_c([xc, lamc], c)
+    cnt_p = jnp.pad(cnt[:-1], (0, cp - c))
+    nbr_p = jnp.pad(grid.nbr, ((0, cp - c), (0, 0)),
+                    constant_values=c).reshape(-1)
+    g = cp // CPB
+    kern = functools.partial(_phase2_kernel_v2, float(h), float(eps), float(c6),
+                             float(s45), float(k_p), float(e_p),
+                             float(inv_denom), m)
+    blk = lambda *s: pl.BlockSpec((CPB,) + s, lambda i, *_: (i,) + (0,) * len(s),
+                                  memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(g,),
+            in_specs=[blk(m, 3), blk(m, 1), _full((c + 1, m)),
+                      _full((c + 1, m)), _full((c + 1, m)), _full((c + 1, m))],
+            out_specs=(blk(m, 3), blk(m, 1), blk(m, 1)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((cp, m, 3), jnp.float32),
+            jax.ShapeDtypeStruct((cp, m, 1), jnp.float32),
+            jax.ShapeDtypeStruct((cp, m, 1), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(cnt_p, nbr_p, xc, lamc, xp, yp, zp, lam_pad)
     ds, cr, nsr = out
     return ds[:c], jnp.sum(cr), jnp.sum(nsr)

@@ -52,39 +52,44 @@ def main():
     t_build = timeit(lambda: build(state.estimate_xyz, state.alive).bxyz.sum())
     print(f"build_dense_grid      {t_build:7.2f} ms")
 
-    gath = jax.jit(lambda g: pbf_pallas._gathers(g))
-    t_gath = timeit(lambda: gath(grid)[2].sum())
-    print(f"_gathers              {t_gath:7.2f} ms")
+    gath = jax.jit(lambda g: pbf_pallas._planes(g))
+    t_gath = timeit(lambda: gath(grid)[1].sum())
+    print(f"_planes               {t_gath:7.2f} ms")
 
-    gathered = gath(grid)
+    planes = gath(grid)
 
     def p1(g, gd):
-        out = pbf_pallas.phase1_slots(
+        out = pbf_pallas.phase1_slots_v2(
             g, h, float(params.epsilon), float(params.poly6_term1),
-            float(params.spiky_grad_term1), gathered=tuple(gd))
+            float(params.spiky_grad_term1), planes=tuple(gd))
         return out[0].sum() + out[1].sum()
 
     p1j = jax.jit(p1)
-    t_p1 = timeit(lambda: p1j(grid, gathered))
-    print(f"phase1_slots          {t_p1:7.2f} ms")
+    t_p1 = timeit(lambda: p1j(grid, planes))
+    print(f"phase1_slots_v2       {t_p1:7.2f} ms")
 
     lam_s = jnp.zeros((C, M), jnp.float32)
 
     def p2(g, ls, gd):
-        out = pbf_pallas.phase2_slots(
+        out = pbf_pallas.phase2_slots_v2(
             g, ls, h, float(params.epsilon), float(params.poly6_term1),
             float(params.spiky_grad_term1), float(params.k_p),
             float(params.e_p), float(1.0 / params.lamb_corr_denom),
-            gathered=tuple(gd))
+            planes=tuple(gd))
         return out[0].sum()
 
     p2j = jax.jit(p2)
-    t_p2 = timeit(lambda: p2j(grid, lam_s, gathered))
-    print(f"phase2_slots          {t_p2:7.2f} ms")
+    t_p2 = timeit(lambda: p2j(grid, lam_s, planes))
+    print(f"phase2_slots_v2       {t_p2:7.2f} ms")
 
     proj = jax.jit(lambda st: project_gas_constraints_dense(st, params)[0].estimate_xyz.sum())
     t_proj = timeit(lambda: proj(state))
-    print(f"full projection       {t_proj:7.2f} ms   (glue = {t_proj - t_build - t_gath - t_p1 - t_p2:.2f})")
+    # NOTE: "residual, approx" — inside the fused projection jit the stages
+    # overlap and fuse differently than when fenced one by one, so this
+    # subtraction is indicative only (it can go negative); use an XLA trace
+    # (tools/xplane_summary.py) for real attribution
+    print(f"full projection       {t_proj:7.2f} ms   "
+          f"(residual, approx = {t_proj - t_build - t_gath - t_p1 - t_p2:.2f})")
 
     @jax.jit
     def tick(st):
