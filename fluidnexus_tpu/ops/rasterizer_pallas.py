@@ -362,6 +362,68 @@ def _bwd_one(tiles_x, tile_x, tile_y, channels, block, tl,
     _occupancy_dispatch(run, cnt, nb, block)
 
 
+_RMW_UNROLL = 4
+
+
+def _combine_kernel(tpb, k, u, cnt_ref, gid_ref, g_ref, out_ref):
+    pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    for tl in range(tpb):
+        t = pid * tpb + tl
+        cnt = cnt_ref[t]
+        iters = (cnt + u - 1) // u
+
+        def body(i, _, tl=tl, t=t):
+            base = i * u
+            for uu in range(u):
+                idx = gid_ref[t * k + base + uu]
+                out_ref[pl.ds(idx, 1), :] += g_ref[pl.ds(tl * k + base + uu, 1), :]
+            return 0
+
+        jax.lax.fori_loop(0, iters, body, 0)
+
+
+def combine_rows_rmw(g, gid, cnt, n):
+    """Gradient combine ``out[m] = sum over live slots with gid==m of g`` as
+    a Pallas kernel: the (n, F) accumulator stays VMEM-resident across the
+    whole grid and each live row is a dynamic read-modify-write, with the
+    per-tile loop bounded by the live count (XLA's sorted scatter-add walks
+    every window slot, dead or not).
+
+    Device study at the 32k/960x544 bench workload (all row-granular
+    alternatives are latency-bound at ~8-16 ns/row on v5e):
+      - XLA sorted scatter-add (default): 2.58 ms in-graph
+      - this kernel, count-bounded + 4x unrolled: 2.25 ms standalone
+      - inverse-sort (extra 295k 2-op sort + (N,9,F) row gather): 1.95 + 2.4 ms
+      - column-sliced gathers (3x F<=4): 4.2 ms
+      - segmented-scan adjoint (cfg.seg_adjoint): 70.9 vs 96 fps (r3)
+    Rows past the live count inside the unroll window are exact zeros (the
+    bwd kernel masks dead slots), so the u-overshoot is harmless.
+    """
+    num_tiles, k = gid.shape
+    f = g.shape[-1]
+    tpb = 16 if num_tiles % 16 == 0 else (10 if num_tiles % 10 == 0 else 1)
+    grid = num_tiles // tpb
+    kern = functools.partial(_combine_kernel, tpb, k, _RMW_UNROLL)
+    return pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(grid,),
+            in_specs=[pl.BlockSpec((tpb * k, f), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((n, f), lambda i, *_: (0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, f), jnp.float32),
+        interpret=_interpret(),
+    )(cnt, gid.reshape(-1), g.reshape(num_tiles * k, f))
+
+
 def _pad_tiles(arrs, num_tiles, tpb):
     """Pad the leading tile axis to a multiple of tiles-per-program."""
     pad = (-num_tiles) % tpb

@@ -89,3 +89,47 @@ def test_pallas_vmap_camera_batch_grads():
     # prefix products round ~1e-5 relative
     scale = max(float(jnp.abs(g_s).max()), 1e-6)
     np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_s), atol=2e-4 * scale)
+
+
+def test_combine_rows_rmw_matches_scatter():
+    """The Pallas RMW gradient combine (cfg.rmw_combine) equals the XLA
+    scatter-add over live rows; rows past the live count are zeros by the
+    bwd-kernel contract and must not perturb the result."""
+    from fluidnexus_tpu.ops.rasterizer_pallas import combine_rows_rmw
+
+    rng = np.random.default_rng(3)
+    t, k, n, f = 12, 32, 64, 10
+    cnt = rng.integers(0, k + 1, (t,)).astype(np.int32)
+    gid = np.stack([rng.permutation(n)[:k] for _ in range(t)]).astype(np.int32)
+    g = rng.normal(size=(t, k, f)).astype(np.float32)
+    live = np.arange(k)[None, :] < cnt[:, None]
+    g = g * live[..., None]  # dead rows are exact zeros (bwd kernel contract)
+
+    out = combine_rows_rmw(jnp.asarray(g), jnp.asarray(gid), jnp.asarray(cnt), n)
+    ref = jnp.zeros((n, f)).at[jnp.asarray(np.where(live, gid, n).reshape(-1))].add(
+        jnp.asarray(g.reshape(-1, f)), mode="drop")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_rmw_combine_grads_match_xla_scatter_adjoint():
+    """Full fwd+bwd equality: rmw_combine=True vs the default XLA scatter
+    adjoint on a real raster grad."""
+    means, cols, ops, scales, rots = random_scene(n=48, c=3, seed=11)
+    cam = make_camera(32, 32)
+    args = tuple(jnp.asarray(a) for a in (means, cols, ops, scales, rots))
+    grads = {}
+    for rmw in (False, True):
+        cfg = RasterizerConfig(tile_capacity=32, chunk=8, dup_x=2, dup_y=2,
+                               backend="pallas", rmw_combine=rmw)
+
+        def loss(m, c, o, s, r):
+            out = rasterize(m, c, o, s, r, view_matrix=jnp.asarray(cam.world_view),
+                            proj_matrix=jnp.asarray(cam.full_proj),
+                            tan_fovx=cam.tan_fovx, tan_fovy=cam.tan_fovy,
+                            width=32, height=32, bg_color=jnp.zeros(3), config=cfg)
+            return (out.color ** 2).sum()
+
+        grads[rmw] = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b in zip(grads[False], grads[True]):
+        scale = max(float(jnp.abs(a).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5 * scale)
