@@ -184,11 +184,175 @@ class ClipFolderDataset:
         return frames, captions
 
 
+def select_random_window(ori_vlen: int, actual_fps: float, fps: float,
+                         num_frames: int, skip_frms_num: int,
+                         rng: np.random.Generator) -> np.ndarray:
+    """The webdataset loader's RANDOM temporal crop (data_video.py:171-205
+    load_video): pick a random start past the skip margin, then stride the
+    window at actual_fps/fps. SFTDataset (select_clip_frames) always starts
+    at the margin; the streaming loader re-crops every epoch."""
+    span = num_frames / fps * actual_fps
+    max_seek = int(ori_vlen - skip_frms_num - span)
+    start = int(rng.integers(skip_frms_num, max(max_seek, skip_frms_num) + 1))
+    end = int(start + span)
+    idx = np.arange(start, end, max((end - start) / num_frames, 1e-6)).astype(int)
+    return np.clip(idx[:num_frames], 0, ori_vlen - 1)
+
+
+class WebVideoDataset:
+    """Streaming tar-shard video dataset — parity with the reference's
+    webdataset-backed ``VideoDataset`` (data_video.py:328-365, wrapping
+    MetaDistributedWebDataset + process_fn_video:230-325).
+
+    Shards are plain tar files whose members are grouped by basename key:
+    ``<key>.mp4`` / ``<key>.avi`` (video bytes), ``<key>.txt`` or the
+    configured ``txt_key`` extension (caption), and optional ``<key>.json``
+    metadata carrying ``duration`` / ``fps``. Matching the reference's
+    process_fn_video:
+      - samples missing duration or fps metadata are SKIPPED (:273-283 —
+        unless the json is absent entirely, in which case both are probed
+        from the decoded clip, a convenience the reference's ``continue``
+        forecloses);
+      - clips shorter than num_frames/fps + 2*skip margins are skipped
+        (:285-290);
+      - the temporal window is a RANDOM seek + uniform stride at
+        actual_fps/fps (load_video:171-205), then pad_last_frame,
+        bicubic cover-resize + center crop, (x-127.5)/127.5.
+
+    Rank-distribution parity with MetaDistributedWebDataset: shards are
+    shuffled by ``seed`` and dealt round-robin to (rank, world); a
+    ``shuffle_buffer``-deep reservoir decorrelates within-shard order.
+    Decoding uses utils.video_io (OpenCV / MJPEG-AVI fallback) through a
+    tempfile, since cv2 cannot decode from memory — the TPU-image answer to
+    decord's BytesIO bridge.
+    """
+
+    def __init__(self, path: str, image_size=(480, 720), num_frames: int = 49,
+                 fps: float = 8.0, skip_frms_num: float = 0.0, seed: int = 1,
+                 shuffle_buffer: int = 1000, nshards: int = 10 ** 9,
+                 txt_key: str = "caption", rank: int = 0, world: int = 1,
+                 include_dirs=None):
+        import glob as _glob
+
+        if path.startswith(";"):  # data_video.py:348-349 ";"-joined include_dirs
+            path, include_dirs = path.split(";", 1)
+        roots = [path] + ([d for d in include_dirs.split(",") if d]
+                          if include_dirs else [])
+        shards: List[str] = []
+        for r in roots:
+            if os.path.isdir(r):
+                shards += sorted(_glob.glob(os.path.join(r, "**", "*.tar"),
+                                            recursive=True))
+            else:
+                shards += sorted(_glob.glob(r))
+        assert shards, f"no .tar shards under {roots}"
+        rng = np.random.default_rng(seed)
+        shards = list(rng.permutation(shards))[:nshards]
+        self.shards = shards[rank::world]
+        self.image_size = tuple(image_size)
+        self.num_frames = num_frames
+        self.fps = fps
+        self.skip_frms_num = skip_frms_num
+        self.shuffle_buffer = shuffle_buffer
+        self.txt_key = txt_key
+        self.seed = seed
+
+    def _iter_samples(self):
+        """Yield {ext: bytes} dicts grouped by tar-member basename key."""
+        import tarfile
+
+        for shard in self.shards:
+            with tarfile.open(shard) as tf:
+                cur_key, cur = None, {}
+                for m in tf:
+                    if not m.isfile():
+                        continue
+                    base = os.path.basename(m.name)
+                    key, dot, ext = base.partition(".")
+                    if cur_key is not None and key != cur_key and cur:
+                        yield cur
+                        cur = {}
+                    cur_key = key
+                    cur[ext.lower()] = tf.extractfile(m).read()
+                if cur:
+                    yield cur
+
+    def _decode(self, raw: dict, rng: np.random.Generator):
+        import json as _json
+        import tempfile
+
+        from fluidnexus_tpu.utils.video_io import read_video_with_fps
+
+        ext = next((e for e in ("mp4", "avi") if e in raw), None)
+        if ext is None:
+            return None  # process_fn_video:232-238 "No video data found"
+        txt = raw.get(self.txt_key.lower(), raw.get("txt", b""))
+        txt = txt.decode("utf-8") if isinstance(txt, bytes) else str(txt)
+        meta = _json.loads(raw["json"]) if "json" in raw else None
+        if meta is not None and (meta.get("duration") is None
+                                 or meta.get("fps") is None):
+            return None  # :273-283 skip on missing metadata
+        with tempfile.NamedTemporaryFile(suffix="." + ext) as f:
+            f.write(raw[ext])
+            f.flush()
+            try:
+                frames, actual_fps = read_video_with_fps(f.name)
+            except Exception:
+                return None  # :314-316 decode errors skip the sample
+        if meta is not None:
+            actual_fps = float(meta["fps"])
+            ori_vlen = min(int(float(meta["duration"]) * actual_fps), len(frames))
+        else:
+            ori_vlen = len(frames)
+        required = self.num_frames / self.fps * actual_fps + 2 * self.skip_frms_num
+        if ori_vlen < required:
+            return None  # :285-301 too-short clips skip
+        idx = select_random_window(ori_vlen, actual_fps, self.fps,
+                                   self.num_frames, int(self.skip_frms_num), rng)
+        out = pad_last_frame(frames[idx], self.num_frames)
+        out = resize_for_rectangle_crop(out, *self.image_size, "center")
+        return {"mp4": (out.astype(np.float32) - 127.5) / 127.5,
+                "txt": txt, "num_frames": self.num_frames, "fps": self.fps}
+
+    def __iter__(self):
+        """Stream decoded items through a reservoir shuffle buffer."""
+        rng = np.random.default_rng(self.seed)
+        buf: List[dict] = []
+        for raw in self._iter_samples():
+            item = self._decode(raw, rng)
+            if item is None:
+                continue
+            buf.append(item)
+            if len(buf) >= self.shuffle_buffer:
+                yield buf.pop(int(rng.integers(len(buf))))
+        rng.shuffle(buf)
+        yield from buf
+
+    def sample_batch(self, batch: int, rng: np.random.Generator):
+        """Adapter to the SFTVideoDataset batch interface (train_video)."""
+        if not hasattr(self, "_stream") or self._stream is None:
+            self._stream = iter(self)
+        frames, captions = [], []
+        while len(frames) < batch:
+            try:
+                item = next(self._stream)
+            except StopIteration:
+                self._stream = iter(self)
+                continue
+            frames.append(item["mp4"])
+            captions.append(item["txt"])
+        return np.stack(frames), captions
+
+
 def make_video_dataset(root: str, num_frames: int = 49, height: int = 480,
                        width: int = 720, fps: float = 8.0):
-    """Pick the dataset by content of <root>/videos: video FILES (mp4/avi)
-    -> SFTVideoDataset; frame-folder directories -> ClipFolderDataset."""
+    """Pick the dataset by content of <root>: .tar shards (here or under
+    videos/) -> WebVideoDataset; video FILES (mp4/avi) under videos/ ->
+    SFTVideoDataset; frame-folder directories -> ClipFolderDataset."""
     vids = os.path.join(root, "videos")
+    for d in (root, vids):
+        if os.path.isdir(d) and any(f.endswith(".tar") for f in os.listdir(d)):
+            return WebVideoDataset(d, (height, width), num_frames, fps=fps)
     has_files = os.path.isdir(vids) and any(
         f.lower().endswith(VIDEO_EXTS) for f in os.listdir(vids))
     if has_files:

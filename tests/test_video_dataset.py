@@ -114,3 +114,74 @@ def test_make_video_dataset_picks_by_content(tmp_path):
         Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
             root2 / "videos" / "clip0" / f"frame_{i:06d}.png")
     assert isinstance(make_video_dataset(str(root2), 5, 8, 8), ClipFolderDataset)
+
+
+def _make_shard(tar_path, clips, fps=8):
+    """Write a webdataset-style tar: <key>.<ext> video + .txt + .json meta.
+    clips: list of (key, n_frames, caption, with_meta)."""
+    import json
+    import tarfile
+
+    tmp = tar_path.parent / "stage"
+    os.makedirs(tmp, exist_ok=True)
+    with tarfile.open(tar_path, "w") as tf:
+        for key, n, caption, with_meta in clips:
+            written = _make_clip(tmp / f"{key}.mp4", n=n, fps=fps)
+            ext = os.path.splitext(written)[1]
+            tf.add(written, arcname=key + ext)
+            cap = tmp / f"{key}.txt"
+            cap.write_text(caption)
+            tf.add(cap, arcname=key + ".txt")
+            if with_meta:
+                meta = tmp / f"{key}.json"
+                meta.write_text(json.dumps({"duration": n / fps, "fps": fps}))
+                tf.add(meta, arcname=key + ".json")
+    return str(tar_path)
+
+
+def test_web_video_dataset_streams_tar_shards(tmp_path):
+    """Streaming parity with data_video.py:328-365 VideoDataset: tar shards
+    of video+caption(+meta) decode through the random-window resampler; a
+    too-short clip and a metadata-less-duration clip are skipped."""
+    import json
+    import tarfile
+
+    from fluidnexus_tpu.data.video_dataset import WebVideoDataset
+
+    _make_shard(tmp_path / "s0.tar", [("a", 24, "plume left", True),
+                                      ("b", 24, "plume right", False)])
+    # shard 2: one good clip, one too short for 9 frames at fps 8
+    _make_shard(tmp_path / "s1.tar", [("c", 24, "third", True),
+                                      ("d", 4, "too short", True)])
+    # a null-duration metadata sample must be skipped (process_fn_video:273)
+    with tarfile.open(tmp_path / "s2.tar", "w") as tf:
+        p = tmp_path / "stage" / "e.json"
+        p.write_text(json.dumps({"duration": None, "fps": 8}))
+        tf.add(_make_clip(tmp_path / "stage" / "e.mp4", n=24), arcname="e.mp4")
+        tf.add(p, arcname="e.json")
+
+    ds = WebVideoDataset(str(tmp_path), image_size=(16, 24), num_frames=9,
+                         fps=8, shuffle_buffer=4, seed=3)
+    items = list(ds)
+    assert sorted(i["txt"] for i in items) == ["plume left", "plume right", "third"]
+    for it in items:
+        assert it["mp4"].shape == (9, 16, 24, 3)
+        assert it["mp4"].min() >= -1.0 and it["mp4"].max() <= 1.0
+        assert it["num_frames"] == 9 and it["fps"] == 8
+
+    # rank sharding: 2 ranks split the 3 shards disjointly and cover them
+    r0 = WebVideoDataset(str(tmp_path), (16, 24), 9, 8, rank=0, world=2)
+    r1 = WebVideoDataset(str(tmp_path), (16, 24), 9, 8, rank=1, world=2)
+    assert not set(r0.shards) & set(r1.shards)
+    assert len(r0.shards) + len(r1.shards) == 3
+
+    # batch adapter loops the stream to fill the batch (train_video interface)
+    frames, caps = ds.sample_batch(4, np.random.default_rng(0))
+    assert frames.shape == (4, 9, 16, 24, 3) and len(caps) == 4
+
+
+def test_make_video_dataset_picks_webdataset(tmp_path):
+    from fluidnexus_tpu.data.video_dataset import WebVideoDataset
+
+    _make_shard(tmp_path / "s0.tar", [("a", 24, "cap", True)])
+    assert isinstance(make_video_dataset(str(tmp_path), 9, 16, 24), WebVideoDataset)
