@@ -54,6 +54,18 @@ def test_vae_real_shape_chunked_decode_single_chip():
     print(f"VAE decode 13x60x90x16 -> {tuple(out.shape)}: {dt:.1f}s "
           f"(incl. compile), {n_params/1e6:.0f}M params")
 
+    # STEADY-STATE (VERDICT r3 item 7): second pass reuses the lru-cached jit
+    # appliers, so this is the per-clip production decode cost. 13 latents at
+    # first=1/chunk=2 = 7 temporal windows x 2 spatial tiles = 14 chunk calls.
+    t0 = time.perf_counter()
+    out = spatial_tiled_decode(vae, params, z, chunk=2, first_latents=1,
+                               tiles=2, halo=8)
+    jax.block_until_ready(out)
+    ss = time.perf_counter() - t0
+    print(f"VAE decode steady-state: {ss:.2f}s/clip = "
+          f"{ss / 14 * 1000:.0f} ms/window-call (7 temporal x 2 tiles), "
+          f"{ss / 49 * 1000:.0f} ms/output-frame")
+
 
 
 
@@ -77,6 +89,15 @@ def test_vae_real_shape_chunked_encode_single_chip():
     assert z.shape == (1, 13, 60, 90, 16), z.shape
     assert bool(jnp.isfinite(z).all())
     print(f"VAE encode 49x480x720 -> {tuple(z.shape)}: {dt:.1f}s (incl. compile)")
+
+    # STEADY-STATE (VERDICT r3 item 7): 13 latents at first=1/chunk=2 =
+    # 7 chunk calls over 49 input frames.
+    t0 = time.perf_counter()
+    z = chunked_encode(vae, params, x, chunk=2, first_latents=1)
+    jax.block_until_ready(z)
+    ss = time.perf_counter() - t0
+    print(f"VAE encode steady-state: {ss:.2f}s/clip = "
+          f"{ss / 7 * 1000:.0f} ms/chunk-call, {ss / 49 * 1000:.0f} ms/input-frame")
 
 
 if __name__ == "__main__":

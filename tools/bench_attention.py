@@ -49,6 +49,10 @@ def main():
     ap.add_argument("--heads", type=int, default=48)
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--bwd", action="store_true",
+                    help="sweep BACKWARD block sizes (fwd fixed at 512): the "
+                    "5B LoRA step spends its time in the flash dq/dkv sweeps "
+                    "and the dit.py bb=128 default was never device-measured")
     args = ap.parse_args()
 
     b, h, s, d = args.batch, args.heads, args.seq, args.dim
@@ -77,6 +81,37 @@ def main():
             return jnp.sum(o.astype(jnp.float32))
 
         return f
+
+    if args.bwd:
+        def flash_fwdbwd(bb):
+            blocks = BlockSizes(
+                block_q=512, block_k_major=512, block_k=512, block_b=1,
+                block_q_major_dkv=bb, block_k_major_dkv=bb, block_k_dkv=bb,
+                block_q_dkv=bb, block_k_major_dq=bb, block_k_dq=bb,
+                block_q_dq=bb)
+
+            @jax.jit
+            def f(qq, kk, vv):
+                def loss(t):
+                    o = flash_attention(*t, causal=False, sm_scale=sm,
+                                        block_sizes=blocks)
+                    return jnp.sum(o.astype(jnp.float32))
+
+                l, g = jax.value_and_grad(loss)((qq, kk, vv))
+                return l + sum(jnp.sum(x.astype(jnp.float32) ** 2) for x in g)
+
+            return f
+
+        qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+        print("\n== ms/layer (fwd+bwd, fwd blocks 512, bf16 in) ==")
+        for bb in (128, 256, 512):
+            try:
+                ms = timeit(flash_fwdbwd(bb), qb, kb, vb, iters=2)
+                print(f"  bwd_blocks_{bb:<4d} {ms:9.2f} ms", flush=True)
+            except Exception as e:
+                print(f"  bwd_blocks_{bb} failed: {type(e).__name__}: {e}",
+                      flush=True)
+        return
 
     results = {}
     for bs in (512, 1024):
