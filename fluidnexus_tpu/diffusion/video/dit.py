@@ -233,12 +233,15 @@ def _joint_attention(q, k, v):
             # (sp is always a 512 multiple here) run 16x fewer iterations
             # with full-depth contractions.
             bs = 512 if sp % 512 == 0 else 128
-            # backward blocks at 128 (the library default): the dkv/dq
-            # passes stage f32[b,h,s,block] workspaces — 1.64 GiB per layer
-            # at the 5B shape with 512-wide blocks, 0.42 GiB at 128; the
-            # fwd-path 2%-MXU pathology does NOT apply to the bwd sweeps
-            # (they contract over the 512-long q/k blocks either way)
-            bb = 128
+            # backward blocks: the r3 assumption that the 128-block
+            # iteration-overhead pathology "does NOT apply to the bwd
+            # sweeps" was WRONG — the r4 step trace pinned bwd_dkv+bwd_dq
+            # at 42.0 of the 58.2 s 5B LoRA step (~5% MXU), and the device
+            # sweep (tools/bench_attention.py --bwd, bf16, fwd 512) reads
+            # 1072.7 / 495.3 / 273.5 ms/layer fwd+bwd at bb=128/256/512.
+            # 512 costs a larger f32 dkv workspace (~1.6 GiB transient vs
+            # 0.4) but the full 5B step still fits (test_5b_lora_train_smoke)
+            bb = bs
             blocks = BlockSizes(
                 block_q=bs, block_k_major=bs, block_k=bs, block_b=1,
                 block_q_major_dkv=bb, block_k_major_dkv=bb, block_k_dkv=bb,
