@@ -327,9 +327,22 @@ def visual_xyz_from_nn(visual_xyz, visual_alive, estimate_xyz_nn, state: Particl
     return vx + wv * params.secs / sum_p6[:, None]
 
 
-def density_ratio_at(positions, alive, imass, params: PBFParams):
+def density_ratio_at(positions, alive, imass, params: PBFParams, dense=None):
     """rho/rho0 at given (scaled-space) positions — the gas-constraint loss
-    (get_gas_constraints_from_exyz_nn, gm_dynamics.py:1269-1296)."""
+    (get_gas_constraints_from_exyz_nn, gm_dynamics.py:1269-1296).
+
+    ``dense`` (default: on TPU) routes through the dense-grid Pallas density
+    with an ANALYTIC custom VJP (fwd: density_slots_v2, bwd: ONE
+    phase-2-shaped kernel) instead of the padded top-K path, whose
+    radius_graph build + (N, K) gathers the r4 device trace pinned at
+    ~120 ms per call at the 28k recon workload — with two gas losses per
+    fit step it dominated the phase-C iteration. Dead/overflow-dropped
+    particles read a self-only density and zero gradient (the fit losses
+    mask by ``alive``; overflow is surfaced by check_capacity_overflow)."""
+    if dense is None:
+        dense = jax.default_backend() == "tpu"
+    if dense:
+        return _density_ratio_dense(positions, alive, imass, params)
     nl = radius_graph(jax.lax.stop_gradient(positions), params.h, k=params.knn_k, loop=True,
                       alive=alive, table_size=params.table_size,
                       cell_capacity=params.cell_capacity)
@@ -338,6 +351,51 @@ def density_ratio_at(positions, alive, imass, params: PBFParams):
     p6 = jnp.where(nl.mask, poly6(params, dist2), 0.0)
     pi = p6.sum(-1) / imass
     return pi / params.p0
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _density_ratio_dense(positions, alive, imass, params: PBFParams):
+    ratio, _ = _density_ratio_dense_fwd(positions, alive, imass, params)
+    return ratio
+
+
+def _density_ratio_dense_fwd(positions, alive, imass, params: PBFParams):
+    from fluidnexus_tpu.ops.neighbors import build_dense_grid, point_gather
+    from fluidnexus_tpu.sim.pbf_pallas import _planes, density_slots_v2
+
+    C, M = params.dense_max_cells, params.dense_cell_capacity
+    grid = build_dense_grid(jax.lax.stop_gradient(positions), params.h,
+                            alive, C, M)
+    planes = _planes(grid)
+    pi_s = density_slots_v2(grid, float(params.h), float(params.epsilon),
+                            float(params.poly6_term1),
+                            float(params.spiky_grad_term1), planes=planes)
+    # dropped points read the sentinel row -> self-only density
+    w_self = jnp.float32(params.poly6_term1 * params.h ** 6)
+    pi_pad = jnp.concatenate(
+        [pi_s, jnp.full((1, M), w_self, jnp.float32)], 0)
+    pi_n = point_gather(grid, pi_pad)
+    ratio = pi_n / imass / params.p0
+    return ratio, (grid, planes, imass, pi_n)
+
+
+def _density_ratio_dense_bwd(params: PBFParams, res, g):
+    from fluidnexus_tpu.ops.neighbors import point_gather, slot_gather
+    from fluidnexus_tpu.sim.pbf_pallas import density_bwd_slots_v2
+
+    grid, planes, imass, pi_n = res
+    M = grid.capacity
+    g_rho = g / (imass * params.p0)                # dL/d pi per particle
+    g_s = slot_gather(grid, g_rho)                 # (C+1, M), dead slots 0
+    ds = density_bwd_slots_v2(grid, g_s, float(params.h),
+                              float(params.poly6_term1), planes=planes)
+    ds_pad = jnp.concatenate([ds, jnp.zeros((1, M, 3), jnp.float32)], 0)
+    dpos = point_gather(grid, ds_pad)              # dropped -> 0
+    dimass = -pi_n / (imass * imass * params.p0) * g
+    return (dpos, np.zeros(g_rho.shape, jax.dtypes.float0), dimass)
+
+
+_density_ratio_dense.defvjp(_density_ratio_dense_fwd, _density_ratio_dense_bwd)
 
 
 def guess_from_nn(estimate_xyz_nn, state: ParticleState, params: PBFParams):

@@ -618,3 +618,163 @@ def phase2_slots_v2(grid: DenseGrid, lam_s, h, eps, c6, s45, k_p, e_p,
     )(cnt_p, nbr_p, xc, lamc, xp, yp, zp, lam_pad)
     ds, cr, nsr = out
     return ds[:c], jnp.sum(cr), jnp.sum(nsr)
+
+
+def _density_kernel_v2(h, eps, c6, s45, m, cnt_ref, nbr_ref,
+                       xc_ref, xp_ref, yp_ref, zp_ref, pi_ref):
+    """Density-only phase-1 (pi = sum_j poly6, self included): the forward
+    of the differentiable gas-constraint density (sim/pbf.density_ratio_at).
+    Structure identical to :func:`_phase1_kernel_v2` minus the spiky/lambda
+    accumulators — ~40% of its VPU work."""
+    pid = pl.program_id(0)
+    pi_ref[...] = jnp.zeros(pi_ref.shape, pi_ref.dtype)
+
+    for ci in range(CPB):
+        cell = pid * CPB + ci
+
+        @pl.when(cnt_ref[cell] > 0)
+        def _():
+            S = min(STRIP, m)
+            for s in range(m // S):
+                sl = slice(s * S, (s + 1) * S)
+
+                def strip(sl=sl, s=s):
+                    xc = xc_ref[ci, sl]
+                    wa = jnp.zeros((S, m), jnp.float32)
+                    for j in range(27):
+                        nb = nbr_ref[cell * 27 + j]
+                        sx, sy, sz = (float(v) * h for v in _OFFSETS[j])
+                        xsx = xp_ref[pl.ds(nb, 1), :] + sx
+                        xsy = yp_ref[pl.ds(nb, 1), :] + sy
+                        xsz = zp_ref[pl.ds(nb, 1), :] + sz
+                        _, w, _, _ = _pair_wcg_rows(
+                            h, eps, c6, s45, xc, xsx, xsy, xsz, j, s * S, S, m)
+                        wa = wa + w
+                    pi_ref[ci, sl] += jnp.sum(wa, axis=1, keepdims=True)
+
+                if s == 0:
+                    strip()
+                else:
+                    pl.when(cnt_ref[cell] > s * S)(strip)
+
+
+def _density_bwd_kernel_v2(h, c6, m, cnt_ref, nbr_ref,
+                           xc_ref, gc_ref, xp_ref, yp_ref, zp_ref, gp_ref,
+                           dx_ref):
+    """Analytic adjoint of the density sum: with per-particle upstream
+    cotangents g (w.r.t. pi), dL/dx_i = sum_j (g_i + g_j) * W'(d2_ij) *
+    2 (x_i - x_j), where W'(d2) = -3 c6 (h^2 - d2)^2 inside the support
+    (poly6 differentiated w.r.t. squared distance). The symmetric (g_i+g_j)
+    factor folds the j->i density contributions into one pass, so the
+    adjoint is ONE phase-2-shaped kernel (neighbor g rows read from a
+    VMEM-resident plane, like phase-2's lambda). Self pairs contribute 0
+    (dx = 0); dead-slot pairs drop via the sentinel coordinates."""
+    pid = pl.program_id(0)
+    dx_ref[...] = jnp.zeros(dx_ref.shape, dx_ref.dtype)
+    h2 = h * h
+
+    for ci in range(CPB):
+        cell = pid * CPB + ci
+
+        @pl.when(cnt_ref[cell] > 0)
+        def _():
+            S = min(STRIP, m)
+            for s in range(m // S):
+                sl = slice(s * S, (s + 1) * S)
+
+                def strip(sl=sl, s=s):
+                    xc = xc_ref[ci, sl]
+                    gc = gc_ref[ci, sl]                        # (S, 1)
+                    z = jnp.zeros((S, m), jnp.float32)
+                    ba = z
+                    bx0, bx1, bx2 = z, z, z
+                    for j in range(27):
+                        nb = nbr_ref[cell * 27 + j]
+                        sx, sy, sz = (float(v) * h for v in _OFFSETS[j])
+                        xsx = xp_ref[pl.ds(nb, 1), :] + sx
+                        xsy = yp_ref[pl.ds(nb, 1), :] + sy
+                        xsz = zp_ref[pl.ds(nb, 1), :] + sz
+                        gn = gp_ref[pl.ds(nb, 1), :]           # (1, m)
+                        dx0 = xc[:, 0:1] - xsx
+                        dx1 = xc[:, 1:2] - xsy
+                        dx2 = xc[:, 2:3] - xsz
+                        d2 = dx0 * dx0 + dx1 * dx1 + dx2 * dx2
+                        t2 = h2 - d2
+                        dw = jnp.where(d2 < h2, (-3.0 * c6) * t2 * t2, 0.0)
+                        b = (gc + gn) * dw * 2.0
+                        ba = ba + b
+                        bx0 = bx0 + b * xsx
+                        bx1 = bx1 + b * xsy
+                        bx2 = bx2 + b * xsz
+                    rs = lambda a: jnp.sum(a, axis=1, keepdims=True)
+                    dx_ref[ci, sl] += rs(ba) * xc - jnp.concatenate(
+                        [rs(bx0), rs(bx1), rs(bx2)], axis=1)
+
+                if s == 0:
+                    strip()
+                else:
+                    pl.when(cnt_ref[cell] > s * S)(strip)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "eps", "c6", "s45"))
+def density_slots_v2(grid: DenseGrid, h, eps, c6, s45, planes=None):
+    """Per-slot density pi (self included) — fwd of the differentiable
+    gas-constraint density. Dead-slot rows carry garbage (never gathered)."""
+    c, m = grid.nbr.shape[0], grid.capacity
+    cnt, bs, xp, yp, zp = _plane_parts(grid, _planes(grid) if planes is None
+                                       else planes)
+    xc = bs[:-1]
+    (xc,), cp = _pad_c([xc], c)
+    cnt_p = jnp.pad(cnt[:-1], (0, cp - c))
+    nbr_p = jnp.pad(grid.nbr, ((0, cp - c), (0, 0)),
+                    constant_values=c).reshape(-1)
+    g = cp // CPB
+    kern = functools.partial(_density_kernel_v2, float(h), float(eps),
+                             float(c6), float(s45), m)
+    blk = lambda *s: pl.BlockSpec((CPB,) + s, lambda i, *_: (i,) + (0,) * len(s),
+                                  memory_space=pltpu.VMEM)
+    pi = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(g,),
+            in_specs=[blk(m, 3), _full((c + 1, m)), _full((c + 1, m)),
+                      _full((c + 1, m))],
+            out_specs=blk(m, 1),
+        ),
+        out_shape=jax.ShapeDtypeStruct((cp, m, 1), jnp.float32),
+        interpret=_interpret(),
+    )(cnt_p, nbr_p, xc, xp, yp, zp)
+    return pi[:c, :, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("h", "c6"))
+def density_bwd_slots_v2(grid: DenseGrid, g_s, h, c6, planes=None):
+    """Adjoint of :func:`density_slots_v2`: per-slot dL/dx (C, M, 3) from
+    per-slot upstream cotangents ``g_s`` (C+1, M; dead slots MUST be 0)."""
+    c, m = grid.nbr.shape[0], grid.capacity
+    cnt, bs, xp, yp, zp = _plane_parts(grid, _planes(grid) if planes is None
+                                       else planes)
+    xc = bs[:-1]
+    gc = g_s[:-1][..., None]
+    (xc, gc), cp = _pad_c([xc, gc], c)
+    cnt_p = jnp.pad(cnt[:-1], (0, cp - c))
+    nbr_p = jnp.pad(grid.nbr, ((0, cp - c), (0, 0)),
+                    constant_values=c).reshape(-1)
+    g = cp // CPB
+    kern = functools.partial(_density_bwd_kernel_v2, float(h), float(c6), m)
+    blk = lambda *s: pl.BlockSpec((CPB,) + s, lambda i, *_: (i,) + (0,) * len(s),
+                                  memory_space=pltpu.VMEM)
+    dx = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(g,),
+            in_specs=[blk(m, 3), blk(m, 1), _full((c + 1, m)),
+                      _full((c + 1, m)), _full((c + 1, m)), _full((c + 1, m))],
+            out_specs=blk(m, 3),
+        ),
+        out_shape=jax.ShapeDtypeStruct((cp, m, 3), jnp.float32),
+        interpret=_interpret(),
+    )(cnt_p, nbr_p, xc, gc, xp, yp, zp, g_s)
+    return dx[:c]

@@ -193,3 +193,74 @@ def test_pallas_multi_strip_matches_xla():
     for key in a_d:
         np.testing.assert_allclose(np.asarray(b_d[key]), np.asarray(a_d[key]),
                                    rtol=1e-4, atol=1e-5, err_msg=key)
+
+
+def test_density_ratio_dense_matches_padded_value_and_grad():
+    """The dense-grid Pallas density with analytic custom VJP
+    (pbf._density_ratio_dense — the TPU default of density_ratio_at) must
+    match the padded top-K path in value AND positional gradient over alive
+    particles. Dead particles are excluded on both paths; the dense path
+    gives dropped/dead rows a self-only density + zero grad, so comparison
+    is alive-masked (the fit losses mask identically)."""
+    import jax
+
+    from fluidnexus_tpu.sim.pbf import density_ratio_at
+
+    rng = np.random.default_rng(7)
+    n = 256
+    pos = rng.uniform(0.0, 6.0, (n, 3)).astype(np.float32)
+    alive = np.ones(n, bool)
+    alive[200:] = False
+    imass = (0.8 + 0.4 * rng.random(n)).astype(np.float32)
+    w = rng.normal(size=n).astype(np.float32)
+    params = PBFParams(h=1.0, knn_k=128, cell_capacity=64,
+                       dense_max_cells=512, dense_cell_capacity=32)
+    alive_j = jnp.asarray(alive)
+    imass_j = jnp.asarray(imass)
+    w_j = jnp.asarray(w * alive)
+
+    def loss(p, dense):
+        r = density_ratio_at(p, alive_j, imass_j, params, dense=dense)
+        return jnp.sum(w_j * (r - 1.0) ** 2), r
+
+    (l_pad, r_pad), g_pad = jax.value_and_grad(loss, has_aux=True)(
+        jnp.asarray(pos), False)
+    (l_dn, r_dn), g_dn = jax.value_and_grad(loss, has_aux=True)(
+        jnp.asarray(pos), True)
+
+    m = alive
+    np.testing.assert_allclose(np.asarray(r_dn)[m], np.asarray(r_pad)[m],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(l_dn), float(l_pad), rtol=1e-5)
+    scale = max(float(jnp.abs(g_pad).max()), 1e-6)
+    np.testing.assert_allclose(np.asarray(g_dn)[m], np.asarray(g_pad)[m],
+                               atol=2e-5 * scale, rtol=2e-4)
+    # dead particles: zero grad on the dense path
+    assert float(jnp.abs(g_dn[~m]).max()) == 0.0
+
+
+def test_density_ratio_dense_imass_grad():
+    """d ratio / d imass = -pi / (imass^2 p0) — the analytic VJP's imass
+    cotangent must match the padded path's autodiff."""
+    import jax
+
+    from fluidnexus_tpu.sim.pbf import density_ratio_at
+
+    rng = np.random.default_rng(3)
+    n = 128
+    pos = rng.uniform(0.0, 4.0, (n, 3)).astype(np.float32)
+    alive_j = jnp.ones(n, bool)
+    imass = (0.8 + 0.4 * rng.random(n)).astype(np.float32)
+    params = PBFParams(h=1.0, knn_k=128, cell_capacity=64,
+                       dense_max_cells=256, dense_cell_capacity=32)
+
+    def loss(im, dense):
+        r = density_ratio_at(jnp.asarray(pos), alive_j, im, params,
+                             dense=dense)
+        return jnp.sum((r - 1.0) ** 2)
+
+    g_pad = jax.grad(loss)(jnp.asarray(imass), False)
+    g_dn = jax.grad(loss)(jnp.asarray(imass), True)
+    scale = max(float(jnp.abs(g_pad).max()), 1e-6)
+    np.testing.assert_allclose(np.asarray(g_dn), np.asarray(g_pad),
+                               atol=1e-5 * scale, rtol=1e-4)
