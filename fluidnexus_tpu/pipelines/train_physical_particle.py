@@ -71,17 +71,26 @@ def distance_penalty(positions, alive, threshold, k: int = 32):
 
 
 def solver_tick(state: ParticleState, params: PBFParams, solver_iterations: int,
-                use_wind: bool, stable: bool = False, dense: bool = True):
+                use_wind: bool, stable: bool = False, dense: bool = True,
+                grid_reuse: bool = True):
     """One simulation tick exactly as the reference schedules it
     (train_physical_particle.py:286-298): guess, counts = solver_iterations
     up-front (NOT incremental — :292-293), then N Jacobi projections.
 
     ``dense=True`` (default) runs the projections through the cell-pair MXU
     path (sim/pbf_dense.py — exact over all in-radius pairs, no knn_k
-    truncation); ``dense=False`` keeps the padded-list path with the
-    reference's arbitrary-first truncation."""
+    truncation) with the grid built ONCE per tick and the whole Jacobi loop
+    in slot space (pbf_dense.project_iterations_dense — the reference's
+    per-iteration radius_graph rebuild is a GPU habit, not physics);
+    ``dense=False`` keeps the padded-list path with the reference's
+    arbitrary-first truncation. ``grid_reuse=False`` restores the
+    rebuild-every-iteration schedule on the dense path."""
     state = guess_hidden(state, params, stable=stable, use_wind=use_wind)
     state = state._replace(counts=jnp.full_like(state.counts, float(solver_iterations)))
+    if dense and grid_reuse:
+        from fluidnexus_tpu.sim.pbf_dense import project_iterations_dense
+        return project_iterations_dense(state, params, solver_iterations,
+                                        counts_step=0.0)
 
     def body(st, _):
         if dense:

@@ -233,14 +233,23 @@ def warn_capacity_overflow(diags, context: str, strict: bool = False,
 
 
 def solver_loop(state: ParticleState, params: PBFParams, iterations: int,
-                rigid: Optional["RigidBody"] = None, dense: bool = True):
+                rigid: Optional["RigidBody"] = None, dense: bool = True,
+                grid_reuse: bool = True):
     """N Jacobi iterations with the reference's counts schedule (the train
     loop calls update_solver_counts after each projection —
     train_physical_particle.py:292-298). lax.scan-based. ``dense`` selects
     the cell-pair MXU projection (see sim/pbf_dense.py) over the padded-list
-    path."""
+    path. With ``dense`` and no rigid body, ``grid_reuse`` (default) bins
+    once per tick and keeps the Jacobi loop in slot space
+    (pbf_dense.project_iterations_dense) — the reference's per-iteration
+    rebuild is a GPU habit, not physics; pass False for the
+    rebuild-every-iteration schedule."""
     if dense:
-        from fluidnexus_tpu.sim.pbf_dense import project_gas_constraints_dense
+        from fluidnexus_tpu.sim.pbf_dense import (project_gas_constraints_dense,
+                                                  project_iterations_dense)
+        if rigid is None and grid_reuse:
+            return project_iterations_dense(state, params, iterations,
+                                            counts_step=1.0)
 
     def body(st, _):
         if dense:

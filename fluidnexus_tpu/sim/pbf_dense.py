@@ -82,40 +82,40 @@ def _pair_terms(params: PBFParams, xc, mc, xn, mn, self_block, shift):
     return d2, w_all, w_ns, cgrad, in_list
 
 
-def project_gas_constraints_dense(state: ParticleState, params: PBFParams,
-                                  grid: DenseGrid = None, backend: str = None):
-    """Dense-grid PBF density projection + drag force.
+def _project_core(grid: DenseGrid, params: PBFParams, backend: str,
+                  planes, imass_s, counts_s):
+    """One Jacobi projection entirely in SLOT space.
 
-    Drop-in for ``pbf.project_gas_constraints`` (same (state, diagnostics)
-    contract, reference gm_dynamics.py:1076-1184); see module docstring for
-    the truncation-semantics difference. ``grid`` may be passed to reuse a
-    build; by default the grid is rebuilt from the current estimates exactly
-    as the reference re-runs radius_graph each Jacobi iteration.
+    ``planes`` carries the CURRENT sentinel-filled coordinates
+    (``pbf_pallas._planes(grid, bxyz)``) — the slot-space tick
+    (:func:`project_iterations_dense`) refreshes coordinates per iteration
+    while reusing the cell assignment, so distances stay exact even when the
+    assignment is one-tick stale. ``imass_s``/``counts_s`` are (C, M) slot
+    fields (imass_s must be 1 at dead slots).
 
-    ``backend``: 'pallas' (fused VMEM pair blocks + empty-cell skipping,
-    sim/pbf_pallas.py), 'xla' (scan of batched blocks), or None = pallas on
-    TPU, xla elsewhere (interpret-mode pallas is minutes-slow on CPU).
+    Returns (delta_s, pi_s, p_ratio_s, lam_s, nlen_s, s_p6, s_edges,
+    s_corr, s_ns); the per-slot outputs are garbage at dead slots (never
+    gathered back to point space).
     """
-    exyz = state.estimate_xyz
-    C = params.dense_max_cells
-    M = params.dense_cell_capacity
-    if backend is None:
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if grid is None:
-        grid = build_dense_grid(exyz, params.h, state.alive, C, M)
-
-    xc_all = grid.bxyz[:-1]                                   # (C, M, 3)
+    C = grid.max_cells
+    M = grid.capacity
+    cnt, bs, _sent = planes
+    xc_all = bs[:-1]                                          # (C, M, 3)
     mc_all = grid.bmask[:-1]                                  # (C, M)
     uidx = jnp.arange(C, dtype=jnp.int32)
     eye = jnp.eye(M, dtype=bool)[None]
-    r = jnp.asarray(params.h, exyz.dtype)
-    offsets = jnp.asarray(_OFFSETS, exyz.dtype) * r           # (27, 3)
+    r = jnp.asarray(params.h, bs.dtype)
+    offsets = jnp.asarray(_OFFSETS, bs.dtype) * r             # (27, 3)
+    if backend == "pallas_v1":
+        # v1 gathered tuple rebuilt from the current planes (== _gathers
+        # when bxyz is the stored grid coords)
+        gathered = (cnt, bs, bs.transpose(0, 2, 1)[grid.nbr].reshape(C, 81, M))
 
     # ---------------- phase 1: density, lambda denominators ----------------
     def p1_body(carry, onb):
         pi, sg, c2d2, nlen, s_p6, s_edges = carry
         shift, nb = onb
-        xn = grid.bxyz[nb]
+        xn = bs[nb]
         mn = grid.bmask[nb]
         self_block = (nb == uidx)[:, None, None] & eye
         d2, w_all, _, cgrad, in_list = _pair_terms(
@@ -133,15 +133,13 @@ def project_gas_constraints_dense(state: ParticleState, params: PBFParams,
         return (pi, sg, c2d2, nlen, s_p6, s_edges), None
 
     if backend == "pallas":
-        from fluidnexus_tpu.sim.pbf_pallas import _planes, phase1_slots_v2
-        planes = _planes(grid)
+        from fluidnexus_tpu.sim.pbf_pallas import phase1_slots_v2
         pi_s, sg_s, c2d2_s, nlen_s, s_p6, s_edges = phase1_slots_v2(
             grid, float(params.h), float(params.epsilon),
             float(params.poly6_term1), float(params.spiky_grad_term1),
             planes=planes)
     elif backend == "pallas_v1":
-        from fluidnexus_tpu.sim.pbf_pallas import _gathers, phase1_slots
-        gathered = _gathers(grid)
+        from fluidnexus_tpu.sim.pbf_pallas import phase1_slots
         pi_s, sg_s, c2d2_s, nlen_s, s_p6, s_edges = phase1_slots(
             grid, float(params.h), float(params.epsilon),
             float(params.poly6_term1), float(params.spiky_grad_term1),
@@ -154,12 +152,6 @@ def project_gas_constraints_dense(state: ParticleState, params: PBFParams,
              jnp.float32(0.0), jnp.int32(0)),
             (offsets, grid.nbr.T))
 
-    # ONE packed slot_gather for both per-point inputs (imass, counts): two
-    # separate (C+1, M) gathers cost ~2x the HBM round trips of one 2-col row
-    # gather at the bench workload
-    ic_s = slot_gather(grid, jnp.stack([state.imass, state.counts], -1))[:-1]
-    imass_s = jnp.where(mc_all, ic_s[..., 0], 1.0)
-    counts_s = ic_s[..., 1]
     pi_s = pi_s / imass_s
     gr = sg_s / params.p0
     gr_dot = jnp.sum(gr * gr, -1)
@@ -174,7 +166,7 @@ def project_gas_constraints_dense(state: ParticleState, params: PBFParams,
     def p2_body(carry, onb):
         dsum, s_corr, s_ns = carry
         shift, nb = onb
-        xn = grid.bxyz[nb]
+        xn = bs[nb]
         mn = grid.bmask[nb]
         ln = lam_pad[nb]                                      # (C, M)
         self_block = (nb == uidx)[:, None, None] & eye
@@ -216,6 +208,47 @@ def project_gas_constraints_dense(state: ParticleState, params: PBFParams,
     # clamp only guards 0/0 in never-gathered invalid slots (any valid slot
     # has its self-pair in-list, so nlen >= 1 there)
     delta_s = dsum_s / params.p0 / jnp.maximum(nlen_s + counts_s, 1e-20)[..., None]
+    return (delta_s, pi_s, p_ratio_s, lam_s, nlen_s,
+            s_p6, s_edges, s_corr, s_ns)
+
+
+def project_gas_constraints_dense(state: ParticleState, params: PBFParams,
+                                  grid: DenseGrid = None, backend: str = None):
+    """Dense-grid PBF density projection + drag force.
+
+    Drop-in for ``pbf.project_gas_constraints`` (same (state, diagnostics)
+    contract, reference gm_dynamics.py:1076-1184); see module docstring for
+    the truncation-semantics difference. ``grid`` may be passed to reuse a
+    build; by default the grid is rebuilt from the current estimates exactly
+    as the reference re-runs radius_graph each Jacobi iteration. For a full
+    multi-iteration tick prefer :func:`project_iterations_dense`, which
+    builds the grid ONCE and keeps the whole Jacobi loop in slot space.
+
+    ``backend``: 'pallas' (fused VMEM pair blocks + empty-cell skipping,
+    sim/pbf_pallas.py), 'xla' (scan of batched blocks), or None = pallas on
+    TPU, xla elsewhere (interpret-mode pallas is minutes-slow on CPU).
+    """
+    from fluidnexus_tpu.sim.pbf_pallas import _planes
+
+    exyz = state.estimate_xyz
+    C = params.dense_max_cells
+    M = params.dense_cell_capacity
+    if backend is None:
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if grid is None:
+        grid = build_dense_grid(exyz, params.h, state.alive, C, M)
+    mc_all = grid.bmask[:-1]                                  # (C, M)
+
+    # ONE packed slot_gather for both per-point inputs (imass, counts): two
+    # separate (C+1, M) gathers cost ~2x the HBM round trips of one 2-col row
+    # gather at the bench workload
+    ic_s = slot_gather(grid, jnp.stack([state.imass, state.counts], -1))[:-1]
+    imass_s = jnp.where(mc_all, ic_s[..., 0], 1.0)
+    counts_s = ic_s[..., 1]
+
+    (delta_s, pi_s, p_ratio_s, lam_s, nlen_s,
+     s_p6, s_edges, s_corr, s_ns) = _project_core(
+        grid, params, backend, _planes(grid), imass_s, counts_s)
 
     # ---------------- back to point space ----------------
     # ONE packed point_gather: five separate (N,)-row gathers from the
@@ -262,3 +295,121 @@ def project_gas_constraints_dense(state: ParticleState, params: PBFParams,
         "overflow": grid.overflow,
     }
     return state._replace(estimate_xyz=est, force=force), diagnostics
+
+
+def project_iterations_dense(state: ParticleState, params: PBFParams,
+                             iterations: int, backend: str = None,
+                             counts_step: float = 0.0):
+    """``iterations`` Jacobi projections with the grid built ONCE per tick.
+
+    The reference rebuilds its neighbor structure every Jacobi iteration
+    (radius_graph at gm_dynamics.py:1081 inside the :1076-1184 loop) — a
+    cheap habit on GPU where torch_cluster is fast relative to the scatter
+    math, but the r4 device trace pinned the per-iteration rebuild (argsort
+    + bucket scatters) plus the slot<->point round trips at ~8 of the
+    12.7 ms/iteration, 2x the pair kernels themselves. This tick is the
+    classic Verlet-list alternative: bin once from the post-Euler estimates,
+    then keep the WHOLE Jacobi loop in slot space —
+
+    - per iteration only the slot coordinates refresh (``xrel += delta_s``),
+      so pair DISTANCES are exact; the cell ASSIGNMENT is up to one tick
+      stale, which can only miss pairs whose binned axis separation exceeded
+      ``h`` while the Jacobi deltas (small fractions of ``h`` by
+      construction — they are density corrections) closed the gap,
+    - imass / counts / velocity are gathered to slots once, the drag-force
+      accumulation runs in slot space, and positions return to point space
+      ONCE at tick end (dropped/dead points keep the guess, zero force
+      delta — the per-iteration path gives overflow-dropped points a
+      spurious ``-k*v`` drag from the sentinel ``p_ratio=0``; here they get
+      none, which is the more honest degradation, surfaced either way by
+      ``warn_capacity_overflow``),
+    - diagnostics are computed as slot-space masked sums over the same alive
+      denominator; with no overflow they equal the per-iteration path's to
+      f32 tolerance (tests/test_pbf_dense.py::test_iterations_*).
+
+    ``counts_step``: the reference's two counts schedules — 0.0 keeps
+    ``state.counts`` fixed (train_physical_particle.py:292-293 presets
+    counts = solver_iterations), 1.0 increments per projection
+    (pbf.solver_loop).
+    """
+    from fluidnexus_tpu.sim.pbf_pallas import _planes
+
+    exyz = state.estimate_xyz
+    C = params.dense_max_cells
+    M = params.dense_cell_capacity
+    if backend is None:
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    grid = build_dense_grid(exyz, params.h, state.alive, C, M)
+    mc_all = grid.bmask[:-1]
+    m3 = mc_all[..., None]
+
+    # once-per-tick point->slot gathers, packed into one row gather
+    ivc = slot_gather(grid, jnp.concatenate(
+        [state.imass[:, None], state.counts[:, None], state.velocity], -1))[:-1]
+    imass_s = jnp.where(mc_all, ivc[..., 0], 1.0)
+    counts_s0 = ivc[..., 1]
+    vel_s = jnp.where(m3, ivc[..., 2:5], 0.0)
+
+    cnt, _, sent = _planes(grid)           # cnt/sentinels are grid-constant
+    a = state.alive
+    n_alive = jnp.maximum(a.astype(jnp.float32).sum(), 1.0)
+
+    def samean(x_s):
+        """Slot-space equivalent of the per-point alive mean (dropped points
+        contribute 0 on both paths — the point path reads the zero-padded
+        sentinel row)."""
+        return jnp.sum(jnp.where(mc_all, x_s, 0.0)) / n_alive
+
+    # constant-per-tick diagnostics (velocity/xyz never change between
+    # projections; estimate_xyz's mean advances by the delta mean)
+    vel_diag = jnp.sum(jnp.where(a, state.velocity.mean(-1), 0.0)) / n_alive
+    xyz_diag = jnp.sum(jnp.where(a, state.xyz.mean(-1), 0.0)) / n_alive
+    est0_diag = jnp.sum(jnp.where(a, exyz.mean(-1), 0.0)) / n_alive
+
+    def body(carry, it):
+        xrel, force_s, cum_dmean = carry
+        bs = jnp.where(grid.bmask[..., None],
+                       jnp.concatenate([xrel, jnp.zeros((1, M, 3), xrel.dtype)], 0),
+                       sent[..., None])
+        counts_it = counts_s0 + jnp.float32(counts_step) * it
+        (delta_s, pi_s, p_ratio_s, lam_s, nlen_s,
+         s_p6, s_edges, s_corr, s_ns) = _project_core(
+            grid, params, backend, (cnt, bs, sent), imass_s, counts_it)
+        delta_s = jnp.where(m3, delta_s, 0.0)
+        xrel = xrel + delta_s
+        fd_s = jnp.where(m3, vel_s * (1.0 - p_ratio_s)[..., None] * -params.k,
+                         0.0)
+        force_s = force_s + fd_s
+        dmean = jnp.sum(delta_s.mean(-1)) / n_alive
+        cum_dmean = cum_dmean + dmean
+        diag = {
+            "velocity": vel_diag,
+            "xyz": xyz_diag,
+            "estimate_xyz": est0_diag + cum_dmean,
+            "poly6_values": s_p6 / jnp.maximum(s_edges, 1),
+            "pi": samean(pi_s),
+            "p_ratio": samean(p_ratio_s),
+            "force_delta": jnp.sum(fd_s.mean(-1)) / n_alive,
+            "lambdas": samean(lam_s),
+            "lamb_corr": s_corr / jnp.maximum(s_ns, 1),
+            "estimate_xyz_delta": dmean,
+            "neighbors": samean(nlen_s),
+            "overflow": grid.overflow,
+        }
+        return (xrel, force_s, cum_dmean), diag
+
+    (xrel_f, force_s_f, _), diags = jax.lax.scan(
+        body,
+        (grid.bxyz[:-1], jnp.zeros((C, M, 3), jnp.float32), jnp.float32(0.0)),
+        jnp.arange(iterations, dtype=jnp.float32))
+
+    # back to point space ONCE: total position delta + accumulated force
+    zpad = jnp.zeros((1, M, 6), jnp.float32)
+    packed = jnp.concatenate(
+        [jnp.concatenate([xrel_f - grid.bxyz[:-1], force_s_f], -1), zpad], 0)
+    pt = point_gather(grid, packed)                # (N, 6); dropped/dead -> 0
+    am = state.alive[:, None]
+    est = jnp.where(am, exyz + pt[:, 0:3], exyz)
+    force = state.force + jnp.where(am, pt[:, 3:6], 0.0)
+    counts = state.counts + jnp.float32(counts_step) * iterations
+    return state._replace(estimate_xyz=est, force=force, counts=counts), diags

@@ -505,18 +505,21 @@ def phase2_slots(grid: DenseGrid, lam_s, h, eps, c6, s45, k_p, e_p, inv_denom,
     return ds[:c], jnp.sum(cr), jnp.sum(nsr)
 
 
-def _planes(grid: DenseGrid):
+def _planes(grid: DenseGrid, bxyz=None):
     """Sentinel-filled per-component coordinate planes (C+1, M) + counts —
     the VMEM-resident inputs of the v2 kernels. Same sentinel scheme as
     :func:`_gathers` (identical on all three components), so the dead-pair
     exclusion math and the closed-form dead-diagonal corrections carry over
-    unchanged."""
+    unchanged. ``bxyz`` overrides the stored coordinates (the slot-space
+    tick in sim/pbf_dense.py refreshes coords per Jacobi iteration while
+    reusing the cell assignment)."""
     c, m = grid.nbr.shape[0], grid.capacity
     cnt = grid.bmask.sum(-1).astype(jnp.int32)             # (C+1,)
     rows = jnp.arange(c + 1, dtype=jnp.int32)[:, None] * m
     sent = ((rows + jnp.arange(m, dtype=jnp.int32)[None, :])
             .astype(jnp.float32) * _SENT_SCALE)            # (C+1, M)
-    bs = jnp.where(grid.bmask[..., None], grid.bxyz, sent[..., None])
+    bs = jnp.where(grid.bmask[..., None],
+                   grid.bxyz if bxyz is None else bxyz, sent[..., None])
     return cnt, bs, sent
 
 
