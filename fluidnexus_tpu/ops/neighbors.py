@@ -160,6 +160,11 @@ class DenseGrid(NamedTuple):
     prow: jnp.ndarray      # (N,) int32 point -> compacted cell row (C = dropped)
     pcol: jnp.ndarray      # (N,) int32 point -> slot column (0 where dropped)
     overflow: jnp.ndarray  # () int32 points dropped (full cells + cell-cap)
+    origin: jnp.ndarray = None   # (3,) int32 lattice anchor (cells of edge r)
+    ucid: jnp.ndarray = None     # (C,) int32 packed cell id per compacted row
+                                 # (_GRID_SENT on unused rows); with ``origin``
+                                 # these let a SECOND point set bind to the
+                                 # same lattice (see bin_queries)
 
     @property
     def max_cells(self):
@@ -171,6 +176,28 @@ class DenseGrid(NamedTuple):
 
 
 _GRID_SENT = jnp.int32(1 << 30)   # > any packed 10-bit-per-axis cell id
+
+
+def _cell_join(ucid_a, ucid_b, cb):
+    """(Ca, 27) compacted row in table ``b`` of each 27-neighborhood cell of
+    table ``a``'s compacted cells (``cb`` = none). Dense equality join — see
+    the build note below on why not searchsorted."""
+    ca = ucid_a.shape[0]
+    a_valid = ucid_a < _GRID_SENT
+    ux = ucid_a & 1023
+    uy = (ucid_a >> 10) & 1023
+    uz = ucid_a >> 20
+    off = jnp.asarray(_OFFSETS)                                   # (27, 3)
+    nx = ux[:, None] + off[None, :, 0]
+    ny = uy[:, None] + off[None, :, 1]
+    nz = uz[:, None] + off[None, :, 2]
+    axis_ok = a_valid[:, None] & ((nx >= 0) & (nx < 1024) & (ny >= 0)
+                                  & (ny < 1024) & (nz >= 0) & (nz < 1024))
+    ncid = nx + (ny << 10) + (nz << 20)
+    iota_b = jnp.arange(1, cb + 1, dtype=jnp.int32)
+    hit_row = jnp.max(jnp.where(ncid[:, :, None] == ucid_b[None, None, :],
+                                iota_b[None, None, :], 0), axis=-1)
+    return jnp.where(axis_ok & (hit_row > 0), hit_row - 1, cb)
 
 
 @functools.partial(jax.jit, static_argnames=("max_cells", "capacity"))
@@ -186,12 +213,17 @@ def build_dense_grid(x, r, alive, max_cells, capacity):
     ``bxyz`` is differentiable w.r.t. ``x`` (cell assignment is
     piecewise-constant, the stored coords are plain gathers minus corners).
     """
-    n = x.shape[0]
-    C, M = max_cells, capacity
     big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
     lo = jnp.min(jnp.where(alive[:, None], jax.lax.stop_gradient(x), big),
                  axis=0)
     origin = jnp.floor(lo / r).astype(jnp.int32)
+    return _compact_bins(x, r, alive, origin, max_cells, capacity,
+                         self_join=True)
+
+
+def _compact_bins(x, r, alive, origin, max_cells, capacity, self_join):
+    n = x.shape[0]
+    C, M = max_cells, capacity
     cc = jnp.clip(jnp.floor(x / r).astype(jnp.int32) - origin, 0, 1023)
     cid = cc[:, 0] + (cc[:, 1] << 10) + (cc[:, 2] << 20)
     cid = jnp.where(alive, cid, _GRID_SENT)
@@ -237,21 +269,12 @@ def build_dense_grid(x, r, alive, max_cells, capacity):
     overflow = (jnp.sum(jnp.maximum(npts - M, 0))
                 + jnp.sum(live & (crank_raw >= C)))
 
-    off = jnp.asarray(_OFFSETS)                                   # (27, 3)
-    nx = ux[:, None] + off[None, :, 0]
-    ny = uy[:, None] + off[None, :, 1]
-    nz = uz[:, None] + off[None, :, 2]
-    axis_ok = u_valid[:, None] & ((nx >= 0) & (nx < 1024) & (ny >= 0)
-                                  & (ny < 1024) & (nz >= 0) & (nz < 1024))
-    ncid = nx + (ny << 10) + (nz << 20)
     # dense equality join instead of searchsorted: ucid is tiny (C rows), so
     # the (C, 27, C) compare streams through the VPU in ~0.3 ms where the
     # binary search lowers to a 12-round while of (C*27,) gathers (~5 ms).
     # Cell ids are unique, so max-of-onehot recovers the single hit row.
-    iota_c = jnp.arange(1, C + 1, dtype=jnp.int32)
-    hit_row = jnp.max(jnp.where(ncid[:, :, None] == ucid[None, None, :],
-                                iota_c[None, None, :], 0), axis=-1)
-    nbr = jnp.where(axis_ok & (hit_row > 0), hit_row - 1, C)
+    nbr = _cell_join(ucid, ucid, C) if self_join else jnp.full(
+        (C, 27), C, jnp.int32)
 
     keep = live & (rank < M) & (crank_raw < C)
     prow_s = jnp.where(keep, crank, C)
@@ -259,7 +282,31 @@ def build_dense_grid(x, r, alive, max_cells, capacity):
     prow = jnp.zeros((n,), jnp.int32).at[order].set(prow_s, unique_indices=True)
     pcol = jnp.zeros((n,), jnp.int32).at[order].set(pcol_s, unique_indices=True)
     return DenseGrid(bidx=bidx, bxyz=bxyz, bmask=bmask, nbr=nbr,
-                     prow=prow, pcol=pcol, overflow=overflow)
+                     prow=prow, pcol=pcol, overflow=overflow,
+                     origin=origin, ucid=ucid)
+
+
+@functools.partial(jax.jit, static_argnames=("max_cells", "capacity"))
+def bin_queries(grid: DenseGrid, r, y, alive_y, max_cells, capacity):
+    """Bin a SECOND point set onto ``grid``'s lattice for two-set dense pair
+    kernels (query points y against source points already in ``grid``).
+
+    Returns ``(qgrid, rnbr)``:
+    - ``qgrid``: a :class:`DenseGrid` over the query points, on the SAME cell
+      lattice (``grid.origin``), with ``qgrid.nbr`` mapping each compacted
+      QUERY cell to the 27 neighbor rows in the SOURCE grid's compacted table
+      (``grid.max_cells`` = none) — the forward (query-centric) join.
+    - ``rnbr`` (C_src, 27): each SOURCE cell's 27 neighbor rows in the QUERY
+      table (``max_cells`` = none) — the adjoint (source-centric) join.
+
+    Queries outside the source 1024^3 box clip into boundary cells (their
+    pairs stay distance-masked). Dead / capacity-dropped queries have
+    ``prow == max_cells`` (point_gather reads a caller-appended pad row)."""
+    qgrid = _compact_bins(y, r, alive_y, grid.origin, max_cells, capacity,
+                          self_join=False)
+    nbr_q = _cell_join(qgrid.ucid, grid.ucid, grid.max_cells)
+    rnbr = _cell_join(grid.ucid, qgrid.ucid, max_cells)
+    return qgrid._replace(nbr=nbr_q), rnbr
 
 
 def slot_gather(grid: DenseGrid, f, fill=0.0):

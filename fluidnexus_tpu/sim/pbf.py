@@ -292,12 +292,22 @@ def remove_invalid(state: ParticleState, params: PBFParams) -> ParticleState:
 
 
 def splat_velocity_to_points(points, point_alive, state: ParticleState, params: PBFParams,
-                             use_estimate=True, velocity=None):
+                             use_estimate=True, velocity=None, dense=None):
     """Poly6-weighted velocity splat hidden->arbitrary points, returning the
     position delta (update_visual_particles, gm_dynamics.py:1360-1402:
-    delta = sum_j w_j v_j * secs / sum_j w_j)."""
+    delta = sum_j w_j v_j * secs / sum_j w_j).
+
+    ``dense`` (default: on TPU) routes through the two-lattice Pallas splat
+    (pbf_pallas.splat_slots) instead of the padded radius_query top-K path
+    — every in-radius source contributes (no K truncation; torch_cluster's
+    max_num_neighbors cap is a CUDA memory bound, not physics)."""
     src = state.estimate_xyz if use_estimate else state.xyz
     vel = state.velocity if velocity is None else velocity
+    if dense is None:
+        dense = jax.default_backend() == "tpu"
+    if dense:
+        return _splat_delta_dense(src, vel, points, state.alive, point_alive,
+                                  params)
     nl = radius_query(src, points, params.h, k=params.knn_k, alive_x=state.alive,
                       alive_y=point_alive, table_size=params.table_size,
                       cell_capacity=params.cell_capacity)
@@ -318,13 +328,24 @@ def update_visual(visual: VisualState, state: ParticleState, params: PBFParams) 
 
 
 def visual_xyz_from_nn(visual_xyz, visual_alive, estimate_xyz_nn, state: ParticleState,
-                       params: PBFParams):
+                       params: PBFParams, dense=None):
     """Differentiable advection of (detached) visual particles driven by the
     learnable hidden positions (get_visual_xyz_from_nn, gm_dynamics.py:1453-1500).
-    estimate_xyz_nn is in WORLD units (the optimizer's down-scaled space)."""
+    estimate_xyz_nn is in WORLD units (the optimizer's down-scaled space).
+
+    ``dense`` (default: on TPU) routes through the two-lattice Pallas splat
+    with an ANALYTIC custom VJP (pbf_pallas.splat_slots / splat_bwd_slots)
+    instead of the padded radius_query top-K path, whose candidate sort +
+    (Nq, K) gathers + two scatter-add adjoints the r4 device trace pinned at
+    ~250 ms of the 292 ms phase-C fit step at the 28k recon workload."""
     est = estimate_xyz_nn * params.scale_factor
     vel = (est - state.xyz) / params.secs
     vx = jax.lax.stop_gradient(visual_xyz)
+    if dense is None:
+        dense = jax.default_backend() == "tpu"
+    if dense:
+        return vx + _splat_delta_dense(est, vel, vx, state.alive, visual_alive,
+                                       params)
     nl = radius_query(jax.lax.stop_gradient(est), vx, params.h, k=params.knn_k,
                       alive_x=state.alive, alive_y=visual_alive,
                       table_size=params.table_size, cell_capacity=params.cell_capacity)
@@ -334,6 +355,76 @@ def visual_xyz_from_nn(visual_xyz, visual_alive, estimate_xyz_nn, state: Particl
     wv = jnp.einsum("vk,vkc->vc", p6, vel[nl.idx])
     sum_p6 = jnp.maximum(p6.sum(-1), params.epsilon)
     return vx + wv * params.secs / sum_p6[:, None]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _splat_delta_dense(src, vel, points, src_alive, point_alive,
+                       params: PBFParams):
+    """delta (Nq, 3) = secs * (sum_j W_ij vel_j) / max(sum_j W_ij, eps) via
+    the two-lattice dense-grid Pallas kernels, differentiable in ``src``
+    (through W) and ``vel``. ``points`` is treated as detached (every caller
+    stop-gradients it); dead / capacity-dropped queries return delta 0 and
+    dropped sources contribute nothing (overflow is surfaced by
+    check_capacity_overflow on the pipelines' diagnostics)."""
+    delta, _ = _splat_delta_dense_fwd(src, vel, points, src_alive,
+                                      point_alive, params)
+    return delta
+
+
+def _splat_delta_dense_fwd(src, vel, points, src_alive, point_alive,
+                           params: PBFParams):
+    from fluidnexus_tpu.ops.neighbors import (bin_queries, build_dense_grid,
+                                              point_gather, slot_gather)
+    from fluidnexus_tpu.sim.pbf_pallas import _planes, splat_slots
+
+    C, M = params.dense_max_cells, params.dense_cell_capacity
+    grid = build_dense_grid(jax.lax.stop_gradient(src), params.h, src_alive,
+                            C, M)
+    qgrid, rnbr = bin_queries(grid, params.h,
+                              jax.lax.stop_gradient(points), point_alive,
+                              C, M)
+    planes = _planes(grid)
+    qplanes = _planes(qgrid)
+    vel_s = slot_gather(grid, vel)
+    wv_s, ws_s = splat_slots(grid, qgrid, vel_s, float(params.h),
+                             planes=planes, qplanes=qplanes)
+    c6 = jnp.float32(params.poly6_term1)
+    # c6 is applied OUTSIDE the kernel so the eps clamp matches the padded
+    # path's max(sum c6*w, eps) exactly
+    wv_pad = jnp.concatenate([wv_s * c6, jnp.zeros((1, M, 3), jnp.float32)], 0)
+    ws_pad = jnp.concatenate([ws_s * c6, jnp.zeros((1, M), jnp.float32)], 0)
+    wv = point_gather(qgrid, wv_pad)                       # (Nq, 3)
+    ws = point_gather(qgrid, ws_pad)                       # (Nq,)
+    S = jnp.maximum(ws, params.epsilon)
+    delta = params.secs * wv / S[:, None]
+    return delta, (grid, qgrid, rnbr, planes, qplanes, vel_s, ws, delta)
+
+
+def _splat_delta_dense_bwd(params: PBFParams, res, g):
+    from fluidnexus_tpu.ops.neighbors import point_gather, slot_gather
+    from fluidnexus_tpu.sim.pbf_pallas import splat_bwd_slots
+
+    grid, qgrid, rnbr, planes, qplanes, vel_s, ws, delta = res
+    M = grid.capacity
+    c6 = jnp.float32(params.poly6_term1)
+    S = jnp.maximum(ws, params.epsilon)
+    p = (c6 * params.secs) * g / S[:, None]                # (Nq, 3)
+    q = jnp.where(ws < params.epsilon, 0.0,
+                  c6 * jnp.sum(g * delta, -1) / S)         # (Nq,)
+    p_s = slot_gather(qgrid, p)                            # dead slots -> 0
+    q_s = slot_gather(qgrid, q)
+    gx_s, gv_s = splat_bwd_slots(grid, qgrid, rnbr, vel_s, p_s, q_s,
+                                 float(params.h), planes=planes,
+                                 qplanes=qplanes)
+    zrow = jnp.zeros((1, M, 3), jnp.float32)
+    g_src = point_gather(grid, jnp.concatenate([gx_s, zrow], 0))
+    g_vel = point_gather(grid, jnp.concatenate([gv_s, zrow], 0))
+    return (g_src, g_vel, jnp.zeros_like(g),
+            np.zeros(grid.prow.shape, jax.dtypes.float0),
+            np.zeros(ws.shape, jax.dtypes.float0))
+
+
+_splat_delta_dense.defvjp(_splat_delta_dense_fwd, _splat_delta_dense_bwd)
 
 
 def density_ratio_at(positions, alive, imass, params: PBFParams, dense=None):

@@ -781,3 +781,236 @@ def density_bwd_slots_v2(grid: DenseGrid, g_s, h, c6, planes=None):
         interpret=_interpret(),
     )(cnt_p, nbr_p, xc, gc, xp, yp, zp, g_s)
     return dx[:c]
+
+
+# ------------------------- two-set velocity splat ---------------------------
+#
+# delta_i = secs * (sum_j W_ij vel_j) / max(sum_j W_ij, eps) over query points
+# i and source particles j (update_visual_particles / get_visual_xyz_from_nn,
+# gm_dynamics.py:1360-1402 and :1453-1500). The padded radius_query path the
+# r4 recon-step trace pinned at ~250 ms/step (a (Nq, 864) candidate sort,
+# 3.2M-row (Nq, K) gathers, and two ~45 ms scatter-add adjoints at the 28k
+# workload); these kernels are phase-1/phase-2-shaped two-lattice versions
+# with NO top-K: queries bind to the source grid's lattice (bin_queries) and
+# every in-radius pair contributes — torch_cluster's max_num_neighbors
+# truncation is a CUDA memory cap, not physics (same argument as the dense
+# density path).
+
+
+def _splat_fwd_kernel(h, ms, cnt_ref, nbr_ref,
+                      xq_ref, xp_ref, yp_ref, zp_ref, vx_ref, vy_ref, vz_ref,
+                      wv_ref, ws_ref):
+    """Query-centric forward: per query slot, poly6-weighted source-velocity
+    sum (wv, 3) and weight sum (ws, 1). Grid over QUERY cells; the source
+    coordinate AND velocity planes stay VMEM-resident ((C_src+1, M) each),
+    neighbor rows are dynamic loads via the scalar-prefetched query->source
+    ``nbr`` table. No self-pair exclusion (distinct point sets); dead source
+    slots drop via sentinel coordinates; dead query rows produce garbage
+    that is never gathered back to point space."""
+    pid = pl.program_id(0)
+    wv_ref[...] = jnp.zeros(wv_ref.shape, wv_ref.dtype)
+    ws_ref[...] = jnp.zeros(ws_ref.shape, ws_ref.dtype)
+    h2 = h * h
+    mq = xq_ref.shape[1]
+
+    for ci in range(CPB):
+        cell = pid * CPB + ci
+
+        @pl.when(cnt_ref[cell] > 0)
+        def _():
+            S = min(STRIP, mq)
+            for s in range(mq // S):
+                sl = slice(s * S, (s + 1) * S)
+
+                def strip(sl=sl, s=s):
+                    xq = xq_ref[ci, sl]                        # (S, 3)
+                    z = jnp.zeros((S, ms), jnp.float32)
+                    wa, bv0, bv1, bv2 = z, z, z, z
+                    for j in range(27):
+                        nb = nbr_ref[cell * 27 + j]
+                        sx, sy, sz = (float(v) * h for v in _OFFSETS[j])
+                        dx0 = xq[:, 0:1] - (xp_ref[pl.ds(nb, 1), :] + sx)
+                        dx1 = xq[:, 1:2] - (yp_ref[pl.ds(nb, 1), :] + sy)
+                        dx2 = xq[:, 2:3] - (zp_ref[pl.ds(nb, 1), :] + sz)
+                        d2 = dx0 * dx0 + dx1 * dx1 + dx2 * dx2
+                        t2 = h2 - d2
+                        w = jnp.where(d2 < h2, t2 * t2 * t2, 0.0)
+                        wa = wa + w
+                        bv0 = bv0 + w * vx_ref[pl.ds(nb, 1), :]
+                        bv1 = bv1 + w * vy_ref[pl.ds(nb, 1), :]
+                        bv2 = bv2 + w * vz_ref[pl.ds(nb, 1), :]
+                    rs = lambda a: jnp.sum(a, axis=1, keepdims=True)
+                    wv_ref[ci, sl] += jnp.concatenate(
+                        [rs(bv0), rs(bv1), rs(bv2)], axis=1)
+                    ws_ref[ci, sl] += rs(wa)
+
+                if s == 0:
+                    strip()
+                else:
+                    pl.when(cnt_ref[cell] > s * S)(strip)
+
+
+def _splat_bwd_kernel(h, mq, cnt_ref, rnbr_ref,
+                      xs_ref, vs_ref, xqp_ref, yqp_ref, zqp_ref,
+                      pxp_ref, pyp_ref, pzp_ref, qp_ref,
+                      gx_ref, gv_ref):
+    """Source-centric analytic adjoint. With per-query precomputed planes
+    p_i = secs * cot_i / S_i (3) and q_i = <cot_i, delta_i> / S_i (0 where
+    the eps clamp is active), the pair factor is f_ij = <p_i, vel_j> - q_i
+    and
+
+        g_est_j = sum_i f_ij * W'(d2_ij) * 2 (est_j - x_i)
+        g_vel_j = sum_i W_ij * p_i
+
+    (W'(d2) = -3 (h^2-d2)^2 inside the support; the c6 coefficient is folded
+    into p/q by the caller, like the fwd kernel's unnormalized w). One
+    phase-2-shaped pass over SOURCE cells reading 7 VMEM-resident query
+    planes via the reverse source->query ``rnbr`` table."""
+    pid = pl.program_id(0)
+    gx_ref[...] = jnp.zeros(gx_ref.shape, gx_ref.dtype)
+    gv_ref[...] = jnp.zeros(gv_ref.shape, gv_ref.dtype)
+    h2 = h * h
+    ms = xs_ref.shape[1]
+
+    for ci in range(CPB):
+        cell = pid * CPB + ci
+
+        @pl.when(cnt_ref[cell] > 0)
+        def _():
+            S = min(STRIP, ms)
+            for s in range(ms // S):
+                sl = slice(s * S, (s + 1) * S)
+
+                def strip(sl=sl, s=s):
+                    xs = xs_ref[ci, sl]                        # (S, 3)
+                    vs = vs_ref[ci, sl]                        # (S, 3)
+                    z = jnp.zeros((S, mq), jnp.float32)
+                    fda, fd0, fd1, fd2 = z, z, z, z
+                    wp0, wp1, wp2 = z, z, z
+                    for j in range(27):
+                        nb = rnbr_ref[cell * 27 + j]
+                        sx, sy, sz = (float(v) * h for v in _OFFSETS[j])
+                        xq0 = xqp_ref[pl.ds(nb, 1), :] + sx    # (1, mq) abs-ish
+                        xq1 = yqp_ref[pl.ds(nb, 1), :] + sy
+                        xq2 = zqp_ref[pl.ds(nb, 1), :] + sz
+                        dx0 = xs[:, 0:1] - xq0
+                        dx1 = xs[:, 1:2] - xq1
+                        dx2 = xs[:, 2:3] - xq2
+                        d2 = dx0 * dx0 + dx1 * dx1 + dx2 * dx2
+                        t2 = h2 - d2
+                        inside = d2 < h2
+                        w = jnp.where(inside, t2 * t2 * t2, 0.0)
+                        dw = jnp.where(inside, -3.0 * t2 * t2, 0.0)
+                        px = pxp_ref[pl.ds(nb, 1), :]
+                        py = pyp_ref[pl.ds(nb, 1), :]
+                        pz = pzp_ref[pl.ds(nb, 1), :]
+                        f = (vs[:, 0:1] * px + vs[:, 1:2] * py
+                             + vs[:, 2:3] * pz - qp_ref[pl.ds(nb, 1), :])
+                        fd = f * dw
+                        fda = fda + fd
+                        fd0 = fd0 + fd * xq0
+                        fd1 = fd1 + fd * xq1
+                        fd2 = fd2 + fd * xq2
+                        wp0 = wp0 + w * px
+                        wp1 = wp1 + w * py
+                        wp2 = wp2 + w * pz
+                    rs = lambda a: jnp.sum(a, axis=1, keepdims=True)
+                    gx_ref[ci, sl] += 2.0 * (
+                        rs(fda) * xs - jnp.concatenate(
+                            [rs(fd0), rs(fd1), rs(fd2)], axis=1))
+                    gv_ref[ci, sl] += jnp.concatenate(
+                        [rs(wp0), rs(wp1), rs(wp2)], axis=1)
+
+                if s == 0:
+                    strip()
+                else:
+                    pl.when(cnt_ref[cell] > s * S)(strip)
+
+
+@functools.partial(jax.jit, static_argnames=("h",))
+def splat_slots(grid: DenseGrid, qgrid: DenseGrid, vel_s, h,
+                planes=None, qplanes=None):
+    """Two-set forward: per QUERY slot unnormalized (wv (Cq, Mq, 3),
+    ws (Cq, Mq)) with W = (h^2-d2)^3 (caller applies the c6 coefficient —
+    it cancels in wv/ws anyway). ``vel_s`` is the (C_src+1, M, 3) slot-space
+    source velocity (slot_gather; dead-slot values are irrelevant — their
+    sentinel coordinates zero the weight)."""
+    cs, ms = grid.nbr.shape[0], grid.capacity
+    cq, mq = qgrid.nbr.shape[0], qgrid.capacity
+    _, bs, xp, yp, zp = _plane_parts(grid, _planes(grid) if planes is None
+                                     else planes)
+    qcnt, qbs, _, _, _ = _plane_parts(qgrid, _planes(qgrid) if qplanes is None
+                                      else qplanes)
+    xq = qbs[:-1]
+    (xq,), cqp = _pad_c([xq], cq)
+    cnt_p = jnp.pad(qcnt[:-1], (0, cqp - cq))
+    nbr_p = jnp.pad(qgrid.nbr, ((0, cqp - cq), (0, 0)),
+                    constant_values=cs).reshape(-1)
+    g = cqp // CPB
+    kern = functools.partial(_splat_fwd_kernel, float(h), ms)
+    blk = lambda *s: pl.BlockSpec((CPB,) + s, lambda i, *_: (i,) + (0,) * len(s),
+                                  memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(g,),
+            in_specs=[blk(mq, 3), _full((cs + 1, ms)), _full((cs + 1, ms)),
+                      _full((cs + 1, ms)), _full((cs + 1, ms)),
+                      _full((cs + 1, ms)), _full((cs + 1, ms))],
+            out_specs=(blk(mq, 3), blk(mq, 1)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((cqp, mq, 3), jnp.float32),
+            jax.ShapeDtypeStruct((cqp, mq, 1), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(cnt_p, nbr_p, xq, xp, yp, zp,
+      vel_s[..., 0], vel_s[..., 1], vel_s[..., 2])
+    wv, ws = out
+    return wv[:cq], ws[:cq, :, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("h",))
+def splat_bwd_slots(grid: DenseGrid, qgrid: DenseGrid, rnbr, vel_s, p_s, q_s,
+                    h, planes=None, qplanes=None):
+    """Two-set adjoint: per SOURCE slot (g_est (C_src, M, 3),
+    g_vel (C_src, M, 3)) from query-slot planes ``p_s`` (Cq+1, Mq, 3) and
+    ``q_s`` (Cq+1, Mq) (dead query slots MUST be 0). ``rnbr`` is
+    bin_queries' source->query reverse table."""
+    cs, ms = grid.nbr.shape[0], grid.capacity
+    cq, mq = qgrid.nbr.shape[0], qgrid.capacity
+    cnt, bs, _, _, _ = _plane_parts(grid, _planes(grid) if planes is None
+                                    else planes)
+    _, _, xqp, yqp, zqp = _plane_parts(qgrid, _planes(qgrid) if qplanes is None
+                                       else qplanes)
+    xs = bs[:-1]
+    vs = vel_s[:-1]
+    (xs, vs), csp = _pad_c([xs, vs], cs)
+    cnt_p = jnp.pad(cnt[:-1], (0, csp - cs))
+    rnbr_p = jnp.pad(rnbr, ((0, csp - cs), (0, 0)),
+                     constant_values=cq).reshape(-1)
+    g = csp // CPB
+    kern = functools.partial(_splat_bwd_kernel, float(h), mq)
+    blk = lambda *s: pl.BlockSpec((CPB,) + s, lambda i, *_: (i,) + (0,) * len(s),
+                                  memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(g,),
+            in_specs=[blk(ms, 3), blk(ms, 3), _full((cq + 1, mq)),
+                      _full((cq + 1, mq)), _full((cq + 1, mq)),
+                      _full((cq + 1, mq)), _full((cq + 1, mq)),
+                      _full((cq + 1, mq)), _full((cq + 1, mq))],
+            out_specs=(blk(ms, 3), blk(ms, 3)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((csp, ms, 3), jnp.float32),
+            jax.ShapeDtypeStruct((csp, ms, 3), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(cnt_p, rnbr_p, xs, vs, xqp, yqp, zqp,
+      p_s[..., 0], p_s[..., 1], p_s[..., 2], q_s)
+    gx, gv = out
+    return gx[:cs], gv[:cs]

@@ -34,23 +34,44 @@ def _gaussian_window(window_size: int, sigma: float):
     return jnp.asarray(np.outer(g, g), jnp.float32)
 
 
+@functools.lru_cache(maxsize=8)
+def _blur_matrix(n: int, window_size: int, sigma: float):
+    """(n, n) banded Toeplitz blur: (A @ v)[i] = sum_k g[k] v[i + k - ws//2]
+    with out-of-range taps dropped — exactly SAME zero padding. Returns
+    NUMPY (the lru_cache must never hold a traced value)."""
+    xs = np.arange(window_size)
+    g = np.exp(-((xs - window_size // 2) ** 2) / (2 * sigma**2))
+    g = g / g.sum()
+    a = np.zeros((n, n), np.float32)
+    half = window_size // 2
+    for k in range(window_size):
+        d = k - half
+        idx = np.arange(max(0, -d), min(n, n - d))
+        a[idx, idx + d] = g[k]
+    return a
+
+
 @functools.partial(jax.jit, static_argnames=("window_size",))
 def ssim(img1, img2, window_size: int = 11):
-    """SSIM over (C,H,W) images (loss_utils.py:33-69). Returns scalar mean."""
+    """SSIM over (C,H,W) images (loss_utils.py:33-69). Returns scalar mean.
+
+    The separable Gaussian window is applied as two banded-Toeplitz MATMULS
+    (A_h @ img @ A_w) instead of a depthwise conv: feature-grouped convs
+    can't map to the MXU and the r4 recon-step trace pinned each 11x11 conv
+    fusion at ~12.8 ms on (2, 3, 544, 960) where the matmul pair is
+    FLOP-trivial. Zero SAME padding is encoded in the banded rows, so the
+    result is bit-comparable to F.conv2d(padding=ws//2) up to f32
+    reassociation."""
     if img1.ndim == 3:
         img1, img2 = img1[None], img2[None]
-    c = img1.shape[1]
-    win = _gaussian_window(window_size, 1.5)
-    kernel = jnp.broadcast_to(win[None, None], (c, 1, window_size, window_size))
+    h, w = img1.shape[-2], img1.shape[-1]
+    ah = _blur_matrix(h, window_size, 1.5)
+    aw = _blur_matrix(w, window_size, 1.5)
 
-    conv = functools.partial(
-        jax.lax.conv_general_dilated,
-        rhs=kernel,
-        window_strides=(1, 1),
-        padding=[(window_size // 2, window_size // 2)] * 2,
-        feature_group_count=c,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
+    def conv(x):
+        return jnp.einsum("hH,ncHW,Ww->nchw", ah, x, aw,
+                          precision=jax.lax.Precision.HIGHEST)
+
     mu1, mu2 = conv(img1), conv(img2)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
     sigma1_sq = conv(img1 * img1) - mu1_sq

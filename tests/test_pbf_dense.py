@@ -314,3 +314,77 @@ def test_density_ratio_dense_imass_grad():
     scale = max(float(jnp.abs(g_pad).max()), 1e-6)
     np.testing.assert_allclose(np.asarray(g_dn), np.asarray(g_pad),
                                atol=1e-5 * scale, rtol=1e-4)
+
+
+def test_splat_dense_matches_padded_value_and_grad():
+    """The two-lattice dense splat with analytic custom VJP
+    (pbf._splat_delta_dense — the TPU default of visual_xyz_from_nn /
+    splat_velocity_to_points) must match the padded radius_query top-K path
+    in value AND nn-gradient over alive queries, at a workload where no
+    neighborhood exceeds K (the dense path never truncates). Dead/dropped
+    queries return delta 0 on the dense path (callers mask by alive)."""
+    import jax
+
+    from fluidnexus_tpu.sim.pbf import visual_xyz_from_nn
+
+    rng = np.random.default_rng(11)
+    n, nq = 256, 320
+    pos = rng.uniform(0.0, 6.0, (n, 3)).astype(np.float32)
+    qpos = rng.uniform(-0.5, 6.5, (nq, 3)).astype(np.float32)
+    alive = np.ones(n, bool)
+    alive[200:] = False
+    q_alive = np.ones(nq, bool)
+    q_alive[300:] = False
+    params = PBFParams(h=1.0, knn_k=128, cell_capacity=64,
+                       dense_max_cells=512, dense_cell_capacity=32)
+    st = make_particle_state(n, jnp.asarray(pos), init_velocity_y=10.0)
+    st = st._replace(alive=jnp.asarray(alive))
+    nn0 = jnp.asarray(pos / params.scale_factor
+                      + 0.002 * rng.normal(size=(n, 3)).astype(np.float32))
+    vq = jnp.asarray(qpos)
+    qa = jnp.asarray(q_alive)
+    w = jnp.asarray(rng.normal(size=(nq, 3)).astype(np.float32)
+                    * q_alive[:, None])
+
+    def loss(nn, dense):
+        out = visual_xyz_from_nn(vq, qa, nn, st, params, dense=dense)
+        return jnp.sum(w * out), out
+
+    (l_pad, o_pad), g_pad = jax.value_and_grad(loss, has_aux=True)(nn0, False)
+    (l_dn, o_dn), g_dn = jax.value_and_grad(loss, has_aux=True)(nn0, True)
+
+    m = q_alive
+    np.testing.assert_allclose(np.asarray(o_dn)[m], np.asarray(o_pad)[m],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(l_dn), float(l_pad), rtol=1e-4)
+    scale = max(float(jnp.abs(g_pad).max()), 1e-6)
+    np.testing.assert_allclose(np.asarray(g_dn), np.asarray(g_pad),
+                               atol=3e-5 * scale, rtol=3e-4)
+    # dead queries: unchanged positions on the dense path
+    np.testing.assert_array_equal(np.asarray(o_dn)[~m], qpos[~m])
+    # dead sources carry zero grad on both paths
+    assert float(jnp.abs(g_dn[~alive]).max()) == 0.0
+
+
+def test_splat_velocity_to_points_dense_matches_padded():
+    """Forward-only splat (update_visual's delta): dense == padded over alive
+    queries when K is not exceeded."""
+    from fluidnexus_tpu.sim.pbf import splat_velocity_to_points
+
+    rng = np.random.default_rng(5)
+    n, nq = 200, 256
+    pos = rng.uniform(0.0, 5.0, (n, 3)).astype(np.float32)
+    qpos = rng.uniform(0.0, 5.0, (nq, 3)).astype(np.float32)
+    params = PBFParams(h=1.0, knn_k=128, cell_capacity=64,
+                       dense_max_cells=512, dense_cell_capacity=32)
+    st = make_particle_state(n, jnp.asarray(pos), init_velocity_y=10.0)
+    vel = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    st = st._replace(velocity=vel,
+                     estimate_xyz=st.xyz + 0.01 * vel)
+    qa = jnp.ones(nq, bool)
+    d_pad = splat_velocity_to_points(jnp.asarray(qpos), qa, st, params,
+                                     dense=False)
+    d_dn = splat_velocity_to_points(jnp.asarray(qpos), qa, st, params,
+                                    dense=True)
+    np.testing.assert_allclose(np.asarray(d_dn), np.asarray(d_pad),
+                               rtol=1e-5, atol=1e-6)
