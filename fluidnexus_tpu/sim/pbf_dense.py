@@ -297,6 +297,132 @@ def project_gas_constraints_dense(state: ParticleState, params: PBFParams,
     return state._replace(estimate_xyz=est, force=force), diagnostics
 
 
+def _project_iterations_v3(state: ParticleState, params: PBFParams,
+                           iterations: int, counts_step: float = 0.0):
+    """Grid-reuse tick through the v3 transposed-IO kernels.
+
+    Same contract and math as the generic :func:`project_iterations_dense`
+    body, but every per-slot tensor in the Jacobi loop lives in the
+    kernels' GROUPED slot-major layout (G, M, CPB)
+    (pbf_pallas.cells_to_grouped) so kernel IO needs no relayout, and
+    XLA-side the whole Jacobi update (delta apply, force accumulation,
+    diagnostics) is trivially fused elementwise ops on those planes. Only
+    the neighbor-side coordinate planes (+ lambda) are transposed back to
+    cell-major per iteration (4 small tiled transposes). The r4 device
+    trace pinned ~half of each 8.5 ms v2 iteration in XLA layout copies
+    ({1,0,2}<->{2,1,0} on the (C,M,3)/(C,M,1) operands) and the
+    between-kernel lambda chain; this body removes both (lambda and the
+    delta scaling are computed in-kernel)."""
+    from fluidnexus_tpu.sim import pbf_pallas as pp
+
+    exyz = state.estimate_xyz
+    C = params.dense_max_cells
+    M = params.dense_cell_capacity
+    grid = build_dense_grid(exyz, params.h, state.alive, C, M)
+    mc_all = grid.bmask[:-1]                                   # (C, M)
+    mG = pp.cells_to_grouped(mc_all)                           # (G, M, CPB)
+
+    # once-per-tick point->slot gathers, packed into one row gather
+    ivc = slot_gather(grid, jnp.concatenate(
+        [state.imass[:, None], state.counts[:, None], state.velocity], -1))[:-1]
+    imG = jnp.where(mG, pp.cells_to_grouped(ivc[..., 0]), 1.0)
+    countsG0 = pp.cells_to_grouped(ivc[..., 1])
+    velG = tuple(jnp.where(mG, pp.cells_to_grouped(ivc[..., 2 + k]), 0.0)
+                 for k in range(3))
+
+    cnt, _, sent = pp._planes(grid)            # cnt/sentinels grid-constant
+    sent_c, sent_last = sent[:-1], sent[-1:]
+    a = state.alive
+    n_alive = jnp.maximum(a.astype(jnp.float32).sum(), 1.0)
+
+    def samean(xg):
+        return jnp.sum(jnp.where(mG, xg, 0.0)) / n_alive
+
+    vel_diag = jnp.sum(jnp.where(a, state.velocity.mean(-1), 0.0)) / n_alive
+    xyz_diag = jnp.sum(jnp.where(a, state.xyz.mean(-1), 0.0)) / n_alive
+    est0_diag = jnp.sum(jnp.where(a, exyz.mean(-1), 0.0)) / n_alive
+
+    h = float(params.h)
+    eps = float(params.epsilon)
+    c6 = float(params.poly6_term1)
+    s45 = float(params.spiky_grad_term1)
+    inv_p0 = 1.0 / float(params.p0)
+    relax = float(params.relaxation)
+    inv_denom = float(1.0 / params.lamb_corr_denom)
+
+    # dead slots carry their SENTINEL coordinate on the center side too (as
+    # in the v2 wrappers, where the center block is the sentinel-filled bs):
+    # a dead center row then pairs in-radius only with its own sentinel
+    # (the self-diagonal), so the closed-form n_dead corrections to
+    # s_p6/s_edges stay exact. Deltas are mG-masked, so sentinels persist
+    # across iterations.
+    x0G = tuple(
+        pp.cells_to_grouped(jnp.where(mc_all, grid.bxyz[:-1, :, k], sent_c))
+        for k in range(3))
+    gshape = x0G[0].shape
+
+    def body(carry, it):
+        xG3, fG3, cum_dmean = carry
+        planes = tuple(        # xG3 dead rows already hold their sentinel
+            jnp.concatenate([pp.grouped_to_cells(xG3[k], C), sent_last], 0)
+            for k in range(3))
+        lamG, piG, nlG, s_p6, s_edges = pp.phase1_slots_v3(
+            grid, h, eps, c6, s45, inv_p0, relax,
+            xG3[0], xG3[1], xG3[2], imG, (cnt,) + planes)
+        lam_pad = jnp.concatenate(
+            [pp.grouped_to_cells(lamG, C), jnp.zeros((1, M), jnp.float32)], 0)
+        ncG = nlG + countsG0 + jnp.float32(counts_step) * it
+        dxG, dyG, dzG, s_corr, s_ns = pp.phase2_slots_v3(
+            grid, h, eps, c6, s45, float(params.k_p), float(params.e_p),
+            inv_denom, inv_p0,
+            xG3[0], xG3[1], xG3[2], lamG, ncG, (cnt,) + planes + (lam_pad,))
+        dG3 = tuple(jnp.where(mG, d, 0.0) for d in (dxG, dyG, dzG))
+        xG3 = tuple(x + d for x, d in zip(xG3, dG3))
+        p_ratioG = piG / imG * inv_p0
+        fdG3 = tuple(jnp.where(mG, v * (1.0 - p_ratioG) * -params.k, 0.0)
+                     for v in velG)
+        fG3 = tuple(f + fd for f, fd in zip(fG3, fdG3))
+        dmean = (jnp.sum(dG3[0]) + jnp.sum(dG3[1])
+                 + jnp.sum(dG3[2])) / 3.0 / n_alive
+        cum_dmean = cum_dmean + dmean
+        diag = {
+            "velocity": vel_diag,
+            "xyz": xyz_diag,
+            "estimate_xyz": est0_diag + cum_dmean,
+            "poly6_values": s_p6 / jnp.maximum(s_edges, 1),
+            "pi": samean(piG / imG),
+            "p_ratio": samean(p_ratioG),
+            "force_delta": (jnp.sum(fdG3[0]) + jnp.sum(fdG3[1])
+                            + jnp.sum(fdG3[2])) / 3.0 / n_alive,
+            "lambdas": samean(lamG),
+            "lamb_corr": s_corr / jnp.maximum(s_ns, 1),
+            "estimate_xyz_delta": dmean,
+            "neighbors": samean(nlG),
+            "overflow": grid.overflow,
+        }
+        return (xG3, fG3, cum_dmean), diag
+
+    (xG3_f, fG3_f, _), diags = jax.lax.scan(
+        body,
+        (x0G, tuple(jnp.zeros(gshape, jnp.float32) for _ in range(3)),
+         jnp.float32(0.0)),
+        jnp.arange(iterations, dtype=jnp.float32))
+
+    # back to point space ONCE: total position delta + accumulated force
+    zpad = jnp.zeros((1, M, 6), jnp.float32)
+    packed = jnp.concatenate([
+        jnp.stack([pp.grouped_to_cells(xG3_f[k], C) - grid.bxyz[:-1, :, k]
+                   for k in range(3)]
+                  + [pp.grouped_to_cells(fG3_f[k], C) for k in range(3)], -1),
+        zpad], 0)
+    pt = point_gather(grid, packed)                # (N, 6); dropped/dead -> 0
+    am = state.alive[:, None]
+    est = jnp.where(am, exyz + pt[:, 0:3], exyz)
+    force = state.force + jnp.where(am, pt[:, 3:6], 0.0)
+    counts = state.counts + jnp.float32(counts_step) * iterations
+    return state._replace(estimate_xyz=est, force=force, counts=counts), diags
+
+
 def project_iterations_dense(state: ParticleState, params: PBFParams,
                              iterations: int, backend: str = None,
                              counts_step: float = 0.0):
@@ -331,6 +457,11 @@ def project_iterations_dense(state: ParticleState, params: PBFParams,
     ``state.counts`` fixed (train_physical_particle.py:292-293 presets
     counts = solver_iterations), 1.0 increments per projection
     (pbf.solver_loop).
+
+    ``backend='pallas'`` (the TPU default) routes through the v3
+    transposed-IO kernels (:func:`_project_iterations_v3`); 'pallas_v2'
+    keeps the v2 per-projection kernels inside the generic body below,
+    'xla' the scan-of-blocks formulation (the CPU default).
     """
     from fluidnexus_tpu.sim.pbf_pallas import _planes
 
@@ -339,6 +470,10 @@ def project_iterations_dense(state: ParticleState, params: PBFParams,
     M = params.dense_cell_capacity
     if backend is None:
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        return _project_iterations_v3(state, params, iterations, counts_step)
+    if backend == "pallas_v2":
+        backend = "pallas"
     grid = build_dense_grid(exyz, params.h, state.alive, C, M)
     mc_all = grid.bmask[:-1]
     m3 = mc_all[..., None]

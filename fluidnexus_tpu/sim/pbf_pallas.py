@@ -1014,3 +1014,318 @@ def splat_bwd_slots(grid: DenseGrid, qgrid: DenseGrid, rnbr, vel_s, p_s, q_s,
       p_s[..., 0], p_s[..., 1], p_s[..., 2], q_s)
     gx, gv = out
     return gx[:cs], gv[:cs]
+
+
+# --------------------------- v3: transposed-IO projection ---------------------------
+#
+# The r4 device trace of the grid-reuse tick (tools/xplane_summary.py over a
+# 3-tick capture at the 28k bench workload) attributed only ~4.2 of the
+# ~8.5 ms/iteration to the v2 pair kernels; the other half was XLA glue
+# created by the kernels' 3-D shapes and the between-kernel lambda math:
+# ~10 layout copies/iteration ({1,0,2}<->{2,1,0} on the (C,M,3)/(C,M,1)
+# pallas operands, ~0.2 ms each), the sg/c2d2 reduce fusions, and the
+# lambda elementwise chain. The v3 kernels remove that glue structurally:
+#
+# - ALL center-side per-slot operands and results are (M, C) SLOT-MAJOR
+#   ("transposed") 2-D planes. Inside the kernel, center-side quantities are
+#   naturally (S, 1) columns, so transposed blocks read and write with NO
+#   relayout — and XLA-side the whole Jacobi update (delta apply, force
+#   accumulation, diagnostics) runs in transposed plane space as trivially
+#   fused 2-D elementwise ops. Neighbor-side reads keep the v2 cell-major
+#   (C+1, M) VMEM-resident planes. The only per-iteration layout ops left
+#   are 3 coordinate transposes + 1 lambda transpose (XLA tiled transposes,
+#   ~1 MB each).
+# - Lambda is computed IN-KERNEL at the end of phase 1 (it needs only the
+#   per-slot reductions the kernel already holds), so the (C,M,3) sg output,
+#   its reduce fusions, and the XLA lambda chain disappear. Phase 2
+#   likewise applies the delta scaling (1/p0/max(nlen+counts, eps))
+#   in-kernel and emits final per-component delta planes.
+#
+# Reference solver being replaced: gm_dynamics.py:1076-1184 (radius_graph +
+# per-pair scatter per Jacobi iteration).
+
+
+def _pair_wcg_cols(h, eps, c6, s45, xc0, xc1, xc2, xsx, xsy, xsz, j, s0, S, m):
+    """_pair_wcg with the CENTER coords as three explicit (S, 1) columns."""
+    dx0 = xc0 - xsx
+    dx1 = xc1 - xsy
+    dx2 = xc2 - xsz
+    d2 = dx0 * dx0 + dx1 * dx1 + dx2 * dx2
+    seye = None
+    if j == _SELF_J:
+        seye = (lax.broadcasted_iota(jnp.int32, (S, m), 0) + s0
+                == lax.broadcasted_iota(jnp.int32, (S, m), 1))
+        d2 = jnp.where(seye, 0.0, d2)
+    h2 = h * h
+    t2 = h2 - d2
+    w = jnp.where(d2 < h2, c6 * t2 * t2 * t2, 0.0)
+    inv = lax.rsqrt(d2 + eps)
+    rlen = (d2 + eps) * inv
+    hr = h - rlen
+    cg = jnp.where(rlen < h, (-s45) * hr * hr * inv, 0.0)
+    if j == _SELF_J:
+        cg = jnp.where(seye, 0.0, cg)
+    return d2, w, cg, seye
+
+
+def _phase1_kernel_v3(h, eps, c6, s45, inv_p0, relax, m, cnt_ref, nbr_ref,
+                      xcT_ref, ycT_ref, zcT_ref, imT_ref,
+                      xp_ref, yp_ref, zp_ref,
+                      lamT_ref, piT_ref, nlT_ref):
+    """Phase 1 with transposed center IO and in-kernel lambda.
+
+    Outputs (all (m, CPB) blocks of (M, C) planes): lamT (the per-slot
+    lambda, FINAL — includes the 1/imass density division), piT (RAW poly6
+    sum, pre-imass, so the XLA side recovers s_p6 and pi/p_ratio), nlT
+    (in-radius candidate count, self included)."""
+    pid = pl.program_id(0)
+    lamT_ref[...] = jnp.zeros(lamT_ref.shape, lamT_ref.dtype)
+    piT_ref[...] = jnp.zeros(piT_ref.shape, piT_ref.dtype)
+    nlT_ref[...] = jnp.zeros(nlT_ref.shape, nlT_ref.dtype)
+    h2 = h * h
+    ip2 = inv_p0 * inv_p0
+
+    for ci in range(CPB):
+        cell = pid * CPB + ci
+
+        @pl.when(cnt_ref[cell] > 0)
+        def _():
+            S = min(STRIP, m)
+            for s in range(m // S):
+                sl = slice(s * S, (s + 1) * S)
+
+                def strip(sl=sl, s=s):
+                    xc0 = xcT_ref[0, sl, ci:ci + 1]            # (S, 1)
+                    xc1 = ycT_ref[0, sl, ci:ci + 1]
+                    xc2 = zcT_ref[0, sl, ci:ci + 1]
+                    z = jnp.zeros((S, m), jnp.float32)
+                    wa, cga, c2a, nla = z, z, z, z
+                    bx0, bx1, bx2 = z, z, z
+                    for j in range(27):
+                        nb = nbr_ref[cell * 27 + j]
+                        sx, sy, sz = (float(v) * h for v in _OFFSETS[j])
+                        xsx = xp_ref[pl.ds(nb, 1), :] + sx     # (1, m)
+                        xsy = yp_ref[pl.ds(nb, 1), :] + sy
+                        xsz = zp_ref[pl.ds(nb, 1), :] + sz
+                        d2, w, cg, _ = _pair_wcg_cols(
+                            h, eps, c6, s45, xc0, xc1, xc2, xsx, xsy, xsz,
+                            j, s * S, S, m)
+                        wa = wa + w
+                        cga = cga + cg
+                        c2a = c2a + cg * cg * d2
+                        nla = nla + (d2 <= h2).astype(jnp.float32)
+                        bx0 = bx0 + cg * xsx
+                        bx1 = bx1 + cg * xsy
+                        bx2 = bx2 + cg * xsz
+                    rs = lambda a: jnp.sum(a, axis=1, keepdims=True)
+                    pi_raw = rs(wa)
+                    rcg = rs(cga)
+                    sg0 = rcg * xc0 - rs(bx0)
+                    sg1 = rcg * xc1 - rs(bx1)
+                    sg2 = rcg * xc2 - rs(bx2)
+                    gr_dot = (sg0 * sg0 + sg1 * sg1 + sg2 * sg2) * ip2
+                    grad_dot = rs(c2a) * ip2
+                    p_ratio = pi_raw / imT_ref[0, sl, ci:ci + 1] * inv_p0
+                    lam = -(p_ratio - 1.0) / (grad_dot + gr_dot + relax)
+                    piT_ref[0, sl, ci:ci + 1] += pi_raw
+                    lamT_ref[0, sl, ci:ci + 1] += lam
+                    nlT_ref[0, sl, ci:ci + 1] += rs(nla)
+
+                if s == 0:
+                    strip()
+                else:
+                    pl.when(cnt_ref[cell] > s * S)(strip)
+
+
+def _phase2_kernel_v3(h, eps, c6, s45, k_p, e_p, inv_denom, inv_p0, m,
+                      cnt_ref, nbr_ref,
+                      xcT_ref, ycT_ref, zcT_ref, lamcT_ref, ncT_ref,
+                      xp_ref, yp_ref, zp_ref, lamp_ref,
+                      dxT_ref, dyT_ref, dzT_ref, crT_ref, nsT_ref):
+    """Phase 2 with transposed center IO and in-kernel delta scaling:
+    emits the FINAL per-component delta planes
+    delta = (sum_j b*(xi-xj)) / p0 / max(nlen + counts, 1e-20)."""
+    pid = pl.program_id(0)
+    dxT_ref[...] = jnp.zeros(dxT_ref.shape, dxT_ref.dtype)
+    dyT_ref[...] = jnp.zeros(dyT_ref.shape, dyT_ref.dtype)
+    dzT_ref[...] = jnp.zeros(dzT_ref.shape, dzT_ref.dtype)
+    crT_ref[...] = jnp.zeros(crT_ref.shape, crT_ref.dtype)
+    nsT_ref[...] = jnp.zeros(nsT_ref.shape, nsT_ref.dtype)
+    h2 = h * h
+    int_pow = float(e_p).is_integer() and 0 < int(e_p) <= 8
+
+    for ci in range(CPB):
+        cell = pid * CPB + ci
+
+        @pl.when(cnt_ref[cell] > 0)
+        def _():
+            S = min(STRIP, m)
+            for s in range(m // S):
+                sl = slice(s * S, (s + 1) * S)
+
+                def strip(sl=sl, s=s):
+                    xc0 = xcT_ref[0, sl, ci:ci + 1]
+                    xc1 = ycT_ref[0, sl, ci:ci + 1]
+                    xc2 = zcT_ref[0, sl, ci:ci + 1]
+                    lamc = lamcT_ref[0, sl, ci:ci + 1]         # (S, 1)
+                    z = jnp.zeros((S, m), jnp.float32)
+                    ba, cra, nsa = z, z, z
+                    bx0, bx1, bx2 = z, z, z
+                    for j in range(27):
+                        nb = nbr_ref[cell * 27 + j]
+                        sx, sy, sz = (float(v) * h for v in _OFFSETS[j])
+                        xsx = xp_ref[pl.ds(nb, 1), :] + sx
+                        xsy = yp_ref[pl.ds(nb, 1), :] + sy
+                        xsz = zp_ref[pl.ds(nb, 1), :] + sz
+                        ln = lamp_ref[pl.ds(nb, 1), :]         # (1, m)
+                        d2, w, cg, seye = _pair_wcg_cols(
+                            h, eps, c6, s45, xc0, xc1, xc2, xsx, xsy, xsz,
+                            j, s * S, S, m)
+                        if j == _SELF_J:
+                            w = jnp.where(seye, 0.0, w)
+                        wd = w * inv_denom
+                        if int_pow:
+                            acc = wd
+                            for _ in range(int(e_p) - 1):
+                                acc = acc * wd
+                            corr = -k_p * acc
+                        else:
+                            corr = -k_p * jnp.power(wd, e_p)
+                        b = (lamc + ln + corr) * cg
+                        mask_ns = (d2 <= h2).astype(jnp.float32)
+                        if j == _SELF_J:
+                            mask_ns = jnp.where(seye, 0.0, mask_ns)
+                        ba = ba + b
+                        cra = cra + corr * mask_ns
+                        nsa = nsa + mask_ns
+                        bx0 = bx0 + b * xsx
+                        bx1 = bx1 + b * xsy
+                        bx2 = bx2 + b * xsz
+                    rs = lambda a: jnp.sum(a, axis=1, keepdims=True)
+                    rb = rs(ba)
+                    scale = inv_p0 / jnp.maximum(
+                        ncT_ref[0, sl, ci:ci + 1], 1e-20)
+                    dxT_ref[0, sl, ci:ci + 1] += (rb * xc0 - rs(bx0)) * scale
+                    dyT_ref[0, sl, ci:ci + 1] += (rb * xc1 - rs(bx1)) * scale
+                    dzT_ref[0, sl, ci:ci + 1] += (rb * xc2 - rs(bx2)) * scale
+                    crT_ref[0, sl, ci:ci + 1] += rs(cra)
+                    nsT_ref[0, sl, ci:ci + 1] += rs(nsa)
+
+                if s == 0:
+                    strip()
+                else:
+                    pl.when(cnt_ref[cell] > s * S)(strip)
+
+
+def _blkT(m):
+    # grouped slot-major layout (G, M, CPB): block == trailing array dims,
+    # which Mosaic accepts (a plain (M, CPB) lane-slab block does not pass
+    # the (8, 128)-divisibility rule); the CPB=8 lane dim is padded to the
+    # 128-lane width in VMEM, a few KB of waste per block
+    return pl.BlockSpec((1, m, CPB), lambda i, *_: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def cells_to_grouped(a, fill=0.0):
+    """Cell-major (C, M) plane -> grouped slot-major (G, M, CPB) kernel
+    layout (column [g, :, ci] = the per-slot values of cell g*CPB+ci),
+    padding C up to a multiple of CPB with ``fill``."""
+    c, m = a.shape
+    cp = -(-c // CPB) * CPB
+    if cp != c:
+        a = jnp.pad(a, ((0, cp - c), (0, 0)), constant_values=fill)
+    return a.reshape(cp // CPB, CPB, m).transpose(0, 2, 1)
+
+
+def grouped_to_cells(aG, c):
+    """Grouped (G, M, CPB) -> cell-major (C, M)."""
+    g, m, _ = aG.shape
+    return aG.transpose(0, 2, 1).reshape(g * CPB, m)[:c]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h", "eps", "c6", "s45", "inv_p0", "relax"))
+def phase1_slots_v3(grid: DenseGrid, h, eps, c6, s45, inv_p0, relax,
+                    xG, yG, zG, imG, planes3):
+    """v3 phase 1: grouped slot-major center IO + in-kernel lambda.
+
+    xG/yG/zG/imG: (G, M, CPB) grouped center planes (:func:`cells_to_grouped`;
+    imG = inverse-mass with 1.0 at dead slots). planes3 = (cnt, xp, yp, zp):
+    counts (C+1,) and the sentinel-filled neighbor-side (C+1, M) coordinate
+    planes.
+
+    Returns (lamG, piG_raw, nlG, s_p6, s_edges): (G, M, CPB) grouped planes,
+    where lamG is the final per-slot lambda, piG_raw the pre-imass poly6
+    sum, and the two scalars carry the same dead-self-diagonal corrections
+    as phase1_slots_v2."""
+    c, m = grid.nbr.shape[0], grid.capacity
+    cnt, xp, yp, zp = planes3
+    g = xG.shape[0]
+    cp = g * CPB
+    cntc = cnt[:-1]
+    cnt_p = jnp.pad(cntc, (0, cp - c))
+    nbr_p = jnp.pad(grid.nbr, ((0, cp - c), (0, 0)),
+                    constant_values=c).reshape(-1)
+    kern = functools.partial(_phase1_kernel_v3, float(h), float(eps),
+                             float(c6), float(s45), float(inv_p0),
+                             float(relax), m)
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(g,),
+            in_specs=[_blkT(m)] * 4 + [_full((c + 1, m))] * 3,
+            out_specs=(_blkT(m),) * 3,
+        ),
+        out_shape=tuple(jax.ShapeDtypeStruct((g, m, CPB), jnp.float32)
+                        for _ in range(3)),
+        interpret=_interpret(),
+    )(cnt_p, nbr_p, xG, yG, zG, imG, xp, yp, zp)
+    lamG, piG, nlG = out
+    s_eff = min(STRIP, m)
+    rows_done = jnp.minimum(-(-cntc // s_eff) * s_eff, m)
+    n_dead = jnp.sum(jnp.where(cntc > 0, rows_done - cntc, 0)
+                     ).astype(jnp.float32)
+    w_self = float(c6) * float(h) ** 6
+    return (lamG, piG, nlG,
+            jnp.sum(piG) - n_dead * w_self, jnp.sum(nlG) - n_dead)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h", "eps", "c6", "s45", "k_p", "e_p",
+                                    "inv_denom", "inv_p0"))
+def phase2_slots_v3(grid: DenseGrid, h, eps, c6, s45, k_p, e_p, inv_denom,
+                    inv_p0, xG, yG, zG, lamG, ncG, planes4):
+    """v3 phase 2: grouped slot-major center IO + in-kernel delta scaling.
+
+    lamG: (G, M, CPB) grouped lambda (phase1_slots_v3 output). ncG: grouped
+    nlen + counts (the delta denominator). planes4 = (cnt, xp, yp, zp,
+    lam_pad): neighbor-side planes, lam_pad (C+1, M) cell-major with a zero
+    last row.
+
+    Returns (dxG, dyG, dzG, s_corr, s_ns): final per-component grouped
+    delta planes and the two global diagnostics."""
+    c, m = grid.nbr.shape[0], grid.capacity
+    cnt, xp, yp, zp, lam_pad = planes4
+    g = xG.shape[0]
+    cp = g * CPB
+    cnt_p = jnp.pad(cnt[:-1], (0, cp - c))
+    nbr_p = jnp.pad(grid.nbr, ((0, cp - c), (0, 0)),
+                    constant_values=c).reshape(-1)
+    kern = functools.partial(_phase2_kernel_v3, float(h), float(eps),
+                             float(c6), float(s45), float(k_p), float(e_p),
+                             float(inv_denom), float(inv_p0), m)
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(g,),
+            in_specs=[_blkT(m)] * 5 + [_full((c + 1, m))] * 4,
+            out_specs=(_blkT(m),) * 5,
+        ),
+        out_shape=tuple(jax.ShapeDtypeStruct((g, m, CPB), jnp.float32)
+                        for _ in range(5)),
+        interpret=_interpret(),
+    )(cnt_p, nbr_p, xG, yG, zG, lamG, ncG, xp, yp, zp, lam_pad)
+    dxG, dyG, dzG, crG, nsG = out
+    return dxG, dyG, dzG, jnp.sum(crG), jnp.sum(nsG)

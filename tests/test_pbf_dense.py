@@ -195,8 +195,14 @@ def test_pallas_multi_strip_matches_xla():
                                    rtol=1e-4, atol=1e-5, err_msg=key)
 
 
+@pytest.mark.parametrize("backend", [
+    "xla",
+    # interpret-mode kernel batteries: ~60 s/case on CPU -> slow lane
+    pytest.param("pallas", marks=pytest.mark.slow),
+    pytest.param("pallas_v2", marks=pytest.mark.slow),
+])
 @pytest.mark.parametrize("counts_step", [0.0, 1.0])
-def test_iterations_matches_per_iteration_rebuild(counts_step):
+def test_iterations_matches_per_iteration_rebuild(counts_step, backend):
     """The slot-space grid-reuse tick (project_iterations_dense) vs N
     rebuild-every-iteration projections. Pair DISTANCES are exact on both
     paths; only the cell ASSIGNMENT is up to one tick stale on the reuse
@@ -219,6 +225,7 @@ def test_iterations_matches_per_iteration_rebuild(counts_step):
         if counts_step:
             ref = ref._replace(counts=ref.counts + 1.0)
     got, got_diags = project_iterations_dense(st, params, 4,
+                                              backend=backend,
                                               counts_step=counts_step)
     assert int(got_diags["overflow"][0]) == 0
     np.testing.assert_allclose(np.asarray(got.estimate_xyz),
