@@ -1142,13 +1142,19 @@ def _phase2_kernel_v3(h, eps, c6, s45, k_p, e_p, inv_denom, inv_p0, m,
                       xcT_ref, ycT_ref, zcT_ref, lamcT_ref, ncT_ref,
                       xp_ref, yp_ref, zp_ref, lamp_ref,
                       dxT_ref, dyT_ref, dzT_ref, crT_ref, nsT_ref):
-    """Phase 2 with transposed center IO and in-kernel delta scaling:
-    emits the FINAL per-component delta planes
-    delta = (sum_j b*(xi-xj)) / p0 / max(nlen + counts, 1e-20)."""
+    """Phase 2 with grouped center IO and in-kernel delta scaling + apply:
+    emits the UPDATED per-component coordinate planes
+    x + (sum_j b*(xi-xj)) / p0 / max(nlen + counts, 1e-20), so the Jacobi
+    position update needs NO XLA-side select/add pass. The out blocks are
+    initialized by copying the center coordinate block: rows the strip loop
+    never touches (cnt=0 cells, rows past ceil(cnt/S)*S) pass through
+    unchanged, which keeps dead/empty rows on their sentinel coordinates —
+    and dead rows inside processed strips get a zero delta anyway (their
+    sentinel pairs all fall outside h; the self-diagonal cg is zeroed)."""
     pid = pl.program_id(0)
-    dxT_ref[...] = jnp.zeros(dxT_ref.shape, dxT_ref.dtype)
-    dyT_ref[...] = jnp.zeros(dyT_ref.shape, dyT_ref.dtype)
-    dzT_ref[...] = jnp.zeros(dzT_ref.shape, dzT_ref.dtype)
+    dxT_ref[...] = xcT_ref[...]
+    dyT_ref[...] = ycT_ref[...]
+    dzT_ref[...] = zcT_ref[...]
     crT_ref[...] = jnp.zeros(crT_ref.shape, crT_ref.dtype)
     nsT_ref[...] = jnp.zeros(nsT_ref.shape, nsT_ref.dtype)
     h2 = h * h
