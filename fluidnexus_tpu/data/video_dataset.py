@@ -268,7 +268,12 @@ class WebVideoDataset:
                     if not m.isfile():
                         continue
                     base = os.path.basename(m.name)
-                    key, dot, ext = base.partition(".")
+                    # webdataset grouping: sample key = everything before the
+                    # FIRST dot; but store under the FINAL extension so
+                    # multi-dot names (clip.x264.mp4, key.en.txt) still hit
+                    # the 'mp4'/'txt' lookups in _decode.
+                    key = base.partition(".")[0]
+                    ext = base.rsplit(".", 1)[-1] if "." in base else ""
                     if cur_key is not None and key != cur_key and cur:
                         yield cur
                         cur = {}
@@ -315,30 +320,45 @@ class WebVideoDataset:
                 "txt": txt, "num_frames": self.num_frames, "fps": self.fps}
 
     def __iter__(self):
-        """Stream decoded items through a reservoir shuffle buffer."""
+        """Stream samples through a reservoir shuffle buffer of RAW tar
+        sample dicts, decoding on pop — matching the reference's
+        shuffle-before-decode order (sgm/webds.py: wds.shuffle sits between
+        tarfile_to_samples and process_fn). Buffering decoded clips would
+        hold ~200 MB per item (49x480x720x3 float32)."""
         rng = np.random.default_rng(self.seed)
         buf: List[dict] = []
         for raw in self._iter_samples():
-            item = self._decode(raw, rng)
-            if item is None:
-                continue
-            buf.append(item)
+            buf.append(raw)
             if len(buf) >= self.shuffle_buffer:
-                yield buf.pop(int(rng.integers(len(buf))))
+                item = self._decode(buf.pop(int(rng.integers(len(buf)))), rng)
+                if item is not None:
+                    yield item
         rng.shuffle(buf)
-        yield from buf
+        for raw in buf:
+            item = self._decode(raw, rng)
+            if item is not None:
+                yield item
 
     def sample_batch(self, batch: int, rng: np.random.Generator):
         """Adapter to the SFTVideoDataset batch interface (train_video)."""
         if not hasattr(self, "_stream") or self._stream is None:
             self._stream = iter(self)
+            self._epoch_items = 0
         frames, captions = [], []
         while len(frames) < batch:
             try:
                 item = next(self._stream)
             except StopIteration:
+                if self._epoch_items == 0:
+                    raise RuntimeError(
+                        "WebVideoDataset: a full pass over "
+                        f"{len(self.shards)} shard(s) yielded zero usable "
+                        "clips (all skipped by decode/metadata/length "
+                        "filters)")
                 self._stream = iter(self)
+                self._epoch_items = 0
                 continue
+            self._epoch_items += 1
             frames.append(item["mp4"])
             captions.append(item["txt"])
         return np.stack(frames), captions

@@ -405,6 +405,12 @@ def combine_rows_rmw(g, gid, cnt, n):
     bwd kernel masks dead slots), so the u-overshoot is harmless.
     """
     num_tiles, k = gid.shape
+    # the unroll window may overshoot cnt but must never overshoot the tile:
+    # with cnt == k and k % u != 0 it would RMW rows of the NEXT tile twice
+    # (and out of bounds on the last tile).
+    assert k % _RMW_UNROLL == 0, (
+        f"tile_capacity ({k}) must be a multiple of _RMW_UNROLL "
+        f"({_RMW_UNROLL})")
     f = g.shape[-1]
     tpb = 16 if num_tiles % 16 == 0 else (10 if num_tiles % 10 == 0 else 1)
     grid = num_tiles // tpb

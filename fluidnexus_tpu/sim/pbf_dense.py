@@ -376,8 +376,12 @@ def _project_iterations_v3(state: ParticleState, params: PBFParams,
             grid, h, eps, c6, s45, float(params.k_p), float(params.e_p),
             inv_denom, inv_p0,
             xG3[0], xG3[1], xG3[2], lamG, ncG, (cnt,) + planes + (lam_pad,))
-        dG3 = tuple(jnp.where(mG, d, 0.0) for d in (dxG, dyG, dzG))
-        xG3 = tuple(x + d for x, d in zip(xG3, dG3))
+        # phase2 v3 emits UPDATED coordinates (x + delta applied in-kernel);
+        # take them as the new planes and recover the delta by subtraction.
+        xG3_new = tuple(jnp.where(mG, nx, x)
+                        for nx, x in zip((dxG, dyG, dzG), xG3))
+        dG3 = tuple(nx - x for nx, x in zip(xG3_new, xG3))
+        xG3 = xG3_new
         p_ratioG = piG / imG * inv_p0
         fdG3 = tuple(jnp.where(mG, v * (1.0 - p_ratioG) * -params.k, 0.0)
                      for v in velG)
