@@ -94,9 +94,11 @@ def main(argv=None):
 
     model = NovelViewModel()
     if args.ckpt:
-        from fluidnexus_tpu.core.checkpoint import load_params
+        # prefer the LitEma shadow when the finetune saved one (the reference
+        # samples with model_ema scopes active, ddpm.py:151-162)
+        from fluidnexus_tpu.core.checkpoint import load_params_prefer_ema
 
-        params = load_params(args.ckpt)
+        params = load_params_prefer_ema(args.ckpt)
     else:
         print("WARNING: no --ckpt given; using random init (smoke-test mode)")
         params = model.init_params(jax.random.PRNGKey(0), image_size=args.image_size)

@@ -127,17 +127,37 @@ def train(args, log=print):
     )
     opt_state = opt.init(params)
 
+    # LitEma parity (ldm/models/diffusion/ddpm.py:111-113 + ldm/modules/ema.py):
+    # shadow the TRAINABLE subtrees (unet + cc_projection; vae/clip are frozen
+    # so their shadow would never move) at decay 0.9999 with the
+    # min(decay, (1+n)/(10+n)) warmup; checkpoints store the EMA-overlaid tree
+    # as the `_ema` sibling that load_params_prefer_ema picks up at inference.
+    _EMA_KEYS = ("unet", "cc")
+    ema_decay = args.ema_decay
+    ema_params = ({k: jax.tree.map(jnp.copy, params[k]) for k in _EMA_KEYS}
+                  if ema_decay > 0 else None)
+
     ds = ViewPairDataset(args.data_dir, args.image_size,
                          cond_view=args.cond_view, target_view=args.target_view)
     rng_np = np.random.default_rng(args.seed)
     data_sh = NamedSharding(mesh, P("data"))
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(p, s, tgt, cond, dt, rng):
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step(p, s, ema, n_updates, tgt, cond, dt, rng):
         loss, grads = jax.value_and_grad(
             lambda q: model.loss_fn(q, tgt, cond, dt, rng))(p)
         updates, s = opt.update(grads, s, p)
-        return optax.apply_updates(p, updates), s, loss
+        p = optax.apply_updates(p, updates)
+        if ema is not None:
+            n = n_updates.astype(jnp.float32) + 1.0
+            d = jnp.minimum(jnp.float32(ema_decay), (1.0 + n) / (10.0 + n))
+            ema = jax.tree.map(lambda e, q: e - (1.0 - d) * (e - q),
+                               ema, {k: p[k] for k in _EMA_KEYS})
+        return p, s, ema, loss
+
+    def ema_full_tree():
+        """params with the trainable subtrees replaced by their EMA shadow."""
+        return {**params, **ema_params}
 
     from fluidnexus_tpu.utils.tb import TrainLogger, device_memory_stats
 
@@ -169,7 +189,9 @@ def train(args, log=print):
             tgt = jax.device_put(jnp.asarray(tgt), data_sh)
             cond = jax.device_put(jnp.asarray(cond), data_sh)
             dt_j = jax.device_put(jnp.asarray(dt, jnp.float32), data_sh)
-            params, opt_state, loss = train_step(params, opt_state, tgt, cond, dt_j, k)
+            params, opt_state, ema_params, loss = train_step(
+                params, opt_state, ema_params, jnp.int32(it - 1),
+                tgt, cond, dt_j, k)
             if it % args.log_every == 0:
                 ips = it / (time.time() - t0)
                 mem = device_memory_stats()
@@ -184,19 +206,24 @@ def train(args, log=print):
                 rng, ks = jax.random.split(rng)
                 log_images(it, tgt, cond, dt_j, ks)
             if args.save_dir and it % args.save_every == 0:
-                save_params(os.path.join(args.save_dir, f"iter_{it:07d}"),
-                            jax.device_get(params))
+                base = os.path.join(args.save_dir, f"iter_{it:07d}")
+                save_params(base, jax.device_get(params))
+                if ema_params is not None:
+                    save_params(base + "_ema", jax.device_get(ema_full_tree()))
     except KeyboardInterrupt:
         # melk parity (Zero123/main.py:254-260 + custom_callbacks.py:34-38):
         # save a last checkpoint on interrupt, then re-raise
         if args.save_dir:
             save_params(os.path.join(args.save_dir, "last"), jax.device_get(params))
+            if ema_params is not None:
+                save_params(os.path.join(args.save_dir, "last_ema"),
+                            jax.device_get(ema_full_tree()))
             log(f"interrupted: saved {os.path.join(args.save_dir, 'last')}")
         raise
     finally:
         profile_cm.__exit__(None, None, None)
         tb.close()
-    return params, float(loss)
+    return params, float(loss), ema_params
 
 
 def build_argparser():
@@ -214,6 +241,9 @@ def build_argparser():
                     help="fix the conditioning camera (with --target_view); -1 = random pairs")
     ap.add_argument("--target_view", type=int, default=-1)
     ap.add_argument("--image_size", type=int, default=256)
+    ap.add_argument("--ema_decay", type=float, default=0.9999,
+                    help="LitEma decay on the trainable subtrees "
+                         "(ddpm.py:111-113); 0 disables the shadow")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log_every", type=int, default=50)
     ap.add_argument("--save_every", type=int, default=1000)

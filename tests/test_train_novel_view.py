@@ -22,12 +22,34 @@ def test_train_novel_view_tiny(tmp_path):
         rt = np.concatenate([np.eye(3), np.array([[0.1 * cam], [0], [2.0]])], 1)
         np.save(tmp_path / "camera" / f"{cam:02d}.npy", rt.astype(np.float32))
 
+    out = tmp_path / "run"
     args = build_argparser().parse_args([
         "--data_dir", str(tmp_path), "--iterations", "2", "--batch", "2",
         "--image_size", "32", "--tiny", "--log_every", "1",
+        "--save_dir", str(out), "--save_every", "2", "--sample_every", "0",
     ])
-    params, loss = train(args, log=lambda *a: None)
+    params, loss, ema = train(args, log=lambda *a: None)
     assert np.isfinite(loss)
+
+    # LitEma parity: the shadow tracks the trainable subtrees (warmup decay
+    # (1+n)/(10+n) << 0.9999 at n=2, so after two steps it must have moved
+    # off the init yet differ from the live params), and the checkpoint
+    # writer emits the _ema sibling that load_params_prefer_ema picks up.
+    import jax
+
+    diffs = jax.tree.leaves(jax.tree.map(
+        lambda e, p: float(np.max(np.abs(np.asarray(e) - np.asarray(p)))),
+        ema, {k: params[k] for k in ("unet", "cc")}))
+    assert max(diffs) > 0, "EMA shadow never updated"
+    from fluidnexus_tpu.core.checkpoint import load_params, load_params_prefer_ema
+
+    base = str(out / "iter_0000002")
+    raw, preferred = load_params(base), load_params_prefer_ema(base)
+    assert set(preferred) == set(raw)  # full tree, vae/clip included
+    d_unet = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+        preferred["unet"], raw["unet"]))
+    assert max(d_unet) > 0, "prefer_ema did not load the EMA sibling"
 
 
 @pytest.mark.slow
