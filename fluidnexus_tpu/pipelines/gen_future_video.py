@@ -38,11 +38,14 @@ def refine_future(
                                 gen_future_since, is_wind)
     out_folder = os.path.join(out_root, folder)
 
-    win, pre = cfg.window_frames, cfg.prefix_frames
+    win, pre, step = cfg.window_frames, cfg.prefix_frames, cfg.frame_step
     prefix = load_frames(recon_frames_folder,
-                         range(gen_future_since - pre, gen_future_since),
+                         [gen_future_since - pre + i for i in range(pre)],
                          "%03d.png", cfg.height, cfg.width)
-    body = load_frames(sim_render_folder, range(gen_future_since, gen_future_since + win - pre),
+    # simulation renders are read every frame_step-th frame
+    # (gen_future_pi2v.py:103-114 with sdedit_frame_step)
+    body = load_frames(sim_render_folder,
+                       [gen_future_since + step * i for i in range(win - pre)],
                        f"render_frame%03d_{camera_name}_0000.png", cfg.height, cfg.width)
     frames = np.concatenate([prefix, body], 0)
 
@@ -67,6 +70,10 @@ def refine_future(
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description="refine simulated future/wind rollouts")
+    ap.add_argument("--preset", default="",
+                    help="shipped configs_gen pin set (configs/gen_*.json): "
+                         "future_smoke | future_ball | future_scalar | "
+                         "wind_smoke, or a JSON path; explicit flags override")
     ap.add_argument("--sim_render_folder", required=True)
     ap.add_argument("--recon_frames_folder", required=True)
     ap.add_argument("--out_root", required=True)
@@ -95,6 +102,14 @@ def main(argv=None):
     ap.add_argument("--pack_video", action="store_true",
                     help="also pack the refined frames into a video file")
     ap.add_argument("--fps", type=int, default=8)
+    ap.add_argument("--frame_step", type=int, default=1,
+                    help="read every Nth simulation render (sdedit_frame_step)")
+    pre_args, _ = ap.parse_known_args(argv)
+    if pre_args.preset:
+        from fluidnexus_tpu.core.gen_presets import (
+            apply_preset_defaults, load_gen_preset)
+
+        apply_preset_defaults(ap, load_gen_preset(pre_args.preset))
     args = ap.parse_args(argv)
 
     from fluidnexus_tpu.core.checkpoint import load_params, load_params_prefer_ema
@@ -130,7 +145,8 @@ def main(argv=None):
     text_emb = enc([args.prompt])
 
     cfg = RefineConfig(window_frames=args.window_frames, prefix_frames=args.prefix_frames,
-                       num_steps=args.num_steps, height=args.height, width=args.width)
+                       num_steps=args.num_steps, height=args.height, width=args.width,
+                       frame_step=args.frame_step)
     out = refine_future(engine, params, vae_params, text_emb, jnp.zeros_like(text_emb),
                         args.sim_render_folder, args.recon_frames_folder, args.out_root,
                         args.camera_name, args.capture_part, args.gen_future_since,

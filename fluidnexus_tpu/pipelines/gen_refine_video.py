@@ -41,6 +41,13 @@ class RefineConfig:
     cfg_scale: float = 6.0
     height: int = 480
     width: int = 720
+    # configs_gen parity: source frames are read every `frame_step`-th capture
+    # frame, window w's body starts at window_start_indices[w] in the input
+    # folder (default: contiguous chaining), and window 1's GT prefix starts
+    # at gt_prefix_start (sdedit_prefix_start_idx_one)
+    frame_step: int = 1
+    window_start_indices: Optional[Sequence[int]] = None
+    gt_prefix_start: int = 0
     decode_chunk: int = 2
     # >1: width-tiled decode (the single-16GiB-chip recipe for 480x720;
     # pair with decode_first_latents=1 — vae3d.spatial_tiled_decode)
@@ -96,11 +103,20 @@ def refine_long_video(
     prev_output: Optional[np.ndarray] = None
     start = 0
     for w in range(cfg.num_windows):
+        step = cfg.frame_step
         if w == 0:
-            prefix = load_frames(gt_prefix_folder, range(pre), gt_pattern, cfg.height, cfg.width)
+            # gen_refine_pi2v_long.py:101-103: GT prefix read at frame_step
+            gt_idx = [cfg.gt_prefix_start + step * i for i in range(pre)]
+            prefix = load_frames(gt_prefix_folder, gt_idx, gt_pattern, cfg.height, cfg.width)
         else:
+            # :105-114: the tail of the previous window's OUTPUT (step 1);
+            # prefix_start_idx_two/three == num_frames - prefix_num_frames
             prefix = prev_output[-pre:]
-        body_idx = range(start + pre, start + win)
+        if cfg.window_start_indices is not None:
+            s0 = int(cfg.window_start_indices[w])
+            body_idx = [s0 + step * i for i in range(win - pre)]
+        else:
+            body_idx = [start + pre + step * i for i in range(win - pre)]
         body = load_frames(input_folder, body_idx, input_pattern, cfg.height, cfg.width)
         frames = np.concatenate([prefix, body], 0)  # (49,H,W,3)
         assert frames.shape[0] == win
@@ -138,6 +154,10 @@ def refine_long_video(
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description="long-video generative refinement")
+    ap.add_argument("--preset", default="",
+                    help="shipped configs_gen pin set (configs/gen_*.json): "
+                         "refine_smoke | refine_ball | refine_scalar, or a "
+                         "JSON path; explicit flags override preset values")
     ap.add_argument("--input_folder", required=True, help="Zero123 frame folder")
     ap.add_argument("--gt_prefix_folder", required=True, help="real capture frames for window 1")
     ap.add_argument("--out_folder", required=True)
@@ -150,6 +170,14 @@ def main(argv=None):
     ap.add_argument("--num_windows", type=int, default=3)
     ap.add_argument("--window_frames", type=int, default=49)
     ap.add_argument("--prefix_frames", type=int, default=9)
+    ap.add_argument("--frame_step", type=int, default=1,
+                    help="read every Nth source frame (sdedit_frame_step)")
+    ap.add_argument("--window_start_indices", type=int, nargs="*", default=None,
+                    help="per-window body start frame in input_folder "
+                         "(sdedit_start_idx_one/two/three)")
+    ap.add_argument("--gt_prefix_start", type=int, default=0,
+                    help="window 1's GT prefix start frame "
+                         "(sdedit_prefix_start_idx_one)")
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=720)
     ap.add_argument("--tp", type=int, default=1,
@@ -165,6 +193,12 @@ def main(argv=None):
     ap.add_argument("--pack_video", action="store_true",
                     help="also pack the refined frames into a video file")
     ap.add_argument("--fps", type=int, default=8)
+    pre_args, _ = ap.parse_known_args(argv)
+    if pre_args.preset:
+        from fluidnexus_tpu.core.gen_presets import (
+            apply_preset_defaults, load_gen_preset)
+
+        apply_preset_defaults(ap, load_gen_preset(pre_args.preset))
     args = ap.parse_args(argv)
 
     from fluidnexus_tpu.diffusion.video.dit import VideoDiTConfig
@@ -204,7 +238,10 @@ def main(argv=None):
 
     cfg = RefineConfig(window_frames=args.window_frames, prefix_frames=args.prefix_frames,
                        num_windows=args.num_windows, sdedit_strength=args.strength,
-                       num_steps=args.num_steps, height=args.height, width=args.width)
+                       num_steps=args.num_steps, height=args.height, width=args.width,
+                       frame_step=args.frame_step,
+                       window_start_indices=args.window_start_indices,
+                       gt_prefix_start=args.gt_prefix_start)
     refine_long_video(engine, params, vae_params, text_emb, uc_text_emb,
                       args.input_folder, args.gt_prefix_folder, args.out_folder,
                       cfg, jax.random.PRNGKey(2))
