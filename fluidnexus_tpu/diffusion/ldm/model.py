@@ -48,9 +48,9 @@ def get_pose_delta(target_rt: np.ndarray, cond_rt: np.ndarray) -> np.ndarray:
     t_cond = -r.T @ t
     th_c, az_c, z_c = cartesian_to_spherical(t_cond[None])
     th_t, az_t, z_t = cartesian_to_spherical(t_target[None])
-    d_theta = float(th_t - th_c)
-    d_az = float((az_t - az_c) % (2 * math.pi))
-    d_z = float(z_t - z_c)
+    d_theta = float(np.asarray(th_t - th_c).reshape(()))
+    d_az = float(np.asarray((az_t - az_c) % (2 * math.pi)).reshape(()))
+    d_z = float(np.asarray(z_t - z_c).reshape(()))
     return np.array([d_theta, math.sin(d_az), math.cos(d_az), d_z], np.float32)
 
 

@@ -121,7 +121,7 @@ def test_camera_dp_render_grads_on_mesh():
     reference's single-GPU camera loop)."""
     from functools import partial
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from fluidnexus_tpu.data.cameras import Camera
     from fluidnexus_tpu.ops.rasterizer import RasterizerConfig, rasterize
@@ -150,7 +150,7 @@ def test_camera_dp_render_grads_on_mesh():
 
     @jax.jit
     @partial(shard_map, mesh=mesh, in_specs=(P(), P("data"), P("data")),
-             out_specs=P(), check_rep=False)
+             out_specs=P(), check_vma=False)
     def dp_grads(m, v, p):
         g = jax.grad(lambda q: cam_loss(q, v[0], p[0]))(m)
         return jax.lax.psum(g, "data")
