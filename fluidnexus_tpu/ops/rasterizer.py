@@ -310,22 +310,33 @@ def _build_tile_lists(proj: Projected, cfg: RasterizerConfig, tiles_x: int, tile
         # an unstable sort is bit-identical and drops the stability iota XLA
         # otherwise co-sorts (device-profiled: the stable 3-array sort was
         # 0.42 ms/step at the bench workload)
-        _, sorted_gidx = jax.lax.sort((key.reshape(-1), gidx.reshape(-1)),
-                                      num_keys=1, is_stable=False)
+        sorted_key, sorted_gidx = jax.lax.sort(
+            (key.reshape(-1), gidx.reshape(-1)), num_keys=1, is_stable=False)
     else:
+        sorted_key = None
         depth = jnp.broadcast_to(proj.depth[:, None], (n, d)).astype(jnp.float32)
         _, _, sorted_gidx = jax.lax.sort(
             (tile.reshape(-1), depth.reshape(-1), gidx.reshape(-1)), num_keys=2
         )
 
-    tids = jnp.arange(num_tiles, dtype=jnp.int32)
-    # per-tile counts by dense compare + cumsum instead of two searchsorteds:
-    # each searchsorted lowers to a 19-round vmapped while of small gathers
-    # (~150 dispatched mini-ops/step); the (T, N*D) compare streams the VPU
-    counts = jnp.sum((tile.reshape(-1)[None, :] == tids[:, None])
-                     .astype(jnp.int32), axis=1)
-    ends = jnp.cumsum(counts).astype(jnp.int32)
-    starts = ends - counts
+    if sorted_key is not None:
+        # per-tile [start, end) straight off the SORTED fused keys: tile t's
+        # run is exactly [searchsorted(t*n_pow2), searchsorted((t+1)*n_pow2))
+        # — ONE vectorized bisection (19 rounds over a (T+1,) query vector)
+        # replaces the dense (T, N*D) compare+cumsum, which the r5 step trace
+        # pinned at 16.9 ms/step (300M int compares in a layout-crippled
+        # fusion) at the 2-cam 32k bench workload.
+        bounds = jnp.searchsorted(
+            sorted_key, jnp.arange(num_tiles + 1, dtype=jnp.int32) * n_pow2,
+            side="left").astype(jnp.int32)
+        starts, ends = bounds[:-1], bounds[1:]
+    else:
+        tids = jnp.arange(num_tiles, dtype=jnp.int32)
+        # per-tile counts by dense compare + cumsum (no fused key available)
+        counts = jnp.sum((tile.reshape(-1)[None, :] == tids[:, None])
+                         .astype(jnp.int32), axis=1)
+        ends = jnp.cumsum(counts).astype(jnp.int32)
+        starts = ends - counts
 
     k = cfg.tile_capacity
     pos = starts[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
