@@ -60,6 +60,18 @@ def pbf_params_from_config(cfg: Config) -> PBFParams:
     )
 
 
+def map_cameras(one, cams, gts):
+    """Unrolled per-camera map — value-identical to ``jax.vmap(one)(*cams, gts)``
+    for an element-independent ``one``, but issues the raster pallas calls
+    directly. vmap's batching of the custom-VJP raster lowers each kernel
+    into a serial ``while`` loop on TPU (~8 ms/step of loop overhead at the
+    2-camera recon workload); the camera count is static under jit, so a
+    Python unroll emits the same kernels sequence-scheduled with no loop."""
+    n = gts.shape[0]
+    outs = [one(*(c[i] for c in cams), gts[i]) for i in range(n)]
+    return tuple(jnp.stack([o[j] for o in outs]) for j in range(len(outs[0])))
+
+
 def distance_penalty(positions, alive, threshold, k: int = 32):
     """Exact equivalent of utils/loss_utils.distance_loss:98 for pairs within
     the threshold, via neighbor lists instead of a dense cdist."""
@@ -132,7 +144,7 @@ def make_first_frame_step(bg: Optional[BackgroundSplats], raster_cfg, width, hei
             sv = 1.0 - ssim(img, gtg)
             return (1.0 - lambda_dssim) * l1v + lambda_dssim * sv, l1v
 
-        losses, l1s = jax.vmap(one)(*cams, gts)
+        losses, l1s = map_cameras(one, cams, gts)
         # weighted partial sums: psum over 'data' restores the global mean
         loss = (losses * w).sum() * inv_w
         if lambda_first_distance > 0:
@@ -201,7 +213,7 @@ def make_current_frame_step(bg: Optional[BackgroundSplats], raster_cfg, width, h
             sv = 1.0 - ssim(img, gtg)
             return (1.0 - lambda_dssim) * l1v + lambda_dssim * sv, l1v
 
-        img_losses, l1s = jax.vmap(one)(*cams, gts)
+        img_losses, l1s = map_cameras(one, cams, gts)
         loss = o.lambda_image * (img_losses * w).sum() * inv_w
         aux = {"l1": (l1s * w).sum() * inv_w}
 

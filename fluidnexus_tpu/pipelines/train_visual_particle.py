@@ -23,7 +23,7 @@ from fluidnexus_tpu.core.optim import adam_init, adam_step
 from fluidnexus_tpu.data.scene import cameras_by_time, read_scene
 from fluidnexus_tpu.ops.knn import mean_dist_to_knn
 from fluidnexus_tpu.ops.rasterizer import RasterizerConfig
-from fluidnexus_tpu.pipelines.train_physical_particle import _cam_tensors, _gts
+from fluidnexus_tpu.pipelines.train_physical_particle import _cam_tensors, _gts, map_cameras
 from fluidnexus_tpu.splat.dynamics import BackgroundSplats, VisualAttrs, load_visual, save_visual
 from fluidnexus_tpu.splat.render import render_particles_with_background
 from fluidnexus_tpu.utils.losses import l1_loss, ssim
@@ -85,7 +85,7 @@ def make_level_two_step(bg, raster_cfg, width, height, o, fit_fields):
                 return (1.0 - o.lambda_dssim) * l1v * o.lambda_image + \
                     o.lambda_dssim * (1.0 - ssim(img, gt)) * o.lambda_image, l1v
 
-            losses, l1s = jax.vmap(one)(*cams, gts)
+            losses, l1s = map_cameras(one, cams, gts)
             loss = losses.mean()
             n_alive = jnp.maximum(alive.sum(), 1)
             for f in fit_fields:
