@@ -219,6 +219,35 @@ def main():
         "vs_baseline": round(cps / 100.0, 4),  # vs the A100 raster ballpark
     }))
 
+    # Diffusion-stage lines (VERDICT r4 item 5): each runs in its OWN
+    # subprocess — a compiled 5B executable + buffers is several GiB of HBM
+    # and cannot sit next to this process's resident raster/PBF executables
+    # (measured OOM, tools/bench_5b_roofline.py). Compiles are served from
+    # .jax_cache after the first round. Skippable via BENCH_SKIP_DIFFUSION=1.
+    if backend == "pallas" and not os.environ.get("BENCH_SKIP_DIFFUSION"):
+        import subprocess
+
+        repo = os.path.dirname(os.path.abspath(__file__))
+        env = dict(os.environ,
+                   PYTHONPATH=f"{repo}:/root/.axon_site",
+                   JAX_COMPILATION_CACHE_DIR=cache_dir)
+        for stage, tmo in (("zero123", 1800), ("5b_step", 2400),
+                           ("5b_sample", 2400)):
+            try:
+                out = subprocess.run(
+                    ["python", os.path.join(repo, "tools", "bench_diffusion.py"),
+                     "--stage", stage], env=env, timeout=tmo,
+                    capture_output=True, text=True)
+                for line in out.stdout.splitlines():
+                    if line.startswith("{"):
+                        print(line, flush=True)
+                if out.returncode != 0:
+                    print(f"# diffusion bench {stage} failed: "
+                          f"{out.stderr.strip().splitlines()[-1][:200] if out.stderr.strip() else out.returncode}",
+                          flush=True)
+            except subprocess.TimeoutExpired:
+                print(f"# diffusion bench {stage} timed out", flush=True)
+
     print(json.dumps({
         "metric": "train_step_iters_per_sec",
         "value": round(ips, 3),

@@ -44,7 +44,7 @@ from fluidnexus_tpu.splat.dynamics import (
     create_visual_points, emit_hidden, emit_visual, plan_emission, plan_extra_visual, save_hidden,
     save_visual,
 )
-from fluidnexus_tpu.splat.render import render_particles_with_background, to_gray3
+from fluidnexus_tpu.splat.render import render_particles_with_background, to_gray, to_gray3
 from fluidnexus_tpu.utils.losses import l1_loss, l2_loss, psnr, ssim
 from fluidnexus_tpu.utils.maths import expon_lr
 
@@ -138,8 +138,10 @@ def make_first_frame_step(bg: Optional[BackgroundSplats], raster_cfg, width, hei
                 bg_color=jnp.zeros(3 if bg is not None else channels),
                 config=raster_cfg,
             )
-            img = to_gray3(out.color)
-            gtg = to_gray3(gt)
+            # losses in 1-channel gray space: exactly equal to the reference's
+            # gray-repeated-x3 comparison (identical channels), 3x cheaper
+            img = to_gray(out.color)
+            gtg = to_gray(gt)
             l1v = l1_loss(img, gtg)
             sv = 1.0 - ssim(img, gtg)
             return (1.0 - lambda_dssim) * l1v + lambda_dssim * sv, l1v
@@ -196,7 +198,24 @@ def make_current_frame_step(bg: Optional[BackgroundSplats], raster_cfg, width, h
     dp = int(mesh.shape["data"]) if mesh is not None else 1
 
     def loss_fn(nn, state, visual, attrs, cams, gts, w, inv_w):
-        vxyz_scaled = visual_xyz_from_nn(visual.xyz, visual.alive, nn, state, params)
+        # ONE dense-grid build at the nn positions, shared between the splat
+        # advection (source side) and the gas-density loss — both evaluate at
+        # nn * scale_factor with the same alive mask. stop_gradient on the
+        # shared trees kills their (zero) cotangents at the boundary, so the
+        # build graph is never transposed.
+        grid_nn = planes_nn = None
+        if jax.default_backend() == "tpu":
+            from fluidnexus_tpu.ops.neighbors import build_dense_grid
+            from fluidnexus_tpu.sim.pbf_pallas import _planes
+
+            sg = jax.lax.stop_gradient
+            pos_nn = sg(nn) * params.scale_factor
+            grid_nn = jax.tree.map(sg, build_dense_grid(
+                pos_nn, params.h, state.alive,
+                params.dense_max_cells, params.dense_cell_capacity))
+            planes_nn = jax.tree.map(sg, _planes(grid_nn))
+        vxyz_scaled = visual_xyz_from_nn(visual.xyz, visual.alive, nn, state,
+                                         params, grid=grid_nn, planes=planes_nn)
         vxyz_world = vxyz_scaled / params.scale_factor
 
         def one(cam_view, cam_proj, fovs, gt):
@@ -207,8 +226,10 @@ def make_current_frame_step(bg: Optional[BackgroundSplats], raster_cfg, width, h
                 bg_color=jnp.zeros(3 if bg is not None else channels),
                 config=raster_cfg,
             )
-            img = to_gray3(out.color)
-            gtg = to_gray3(gt)
+            # losses in 1-channel gray space: exactly equal to the reference's
+            # gray-repeated-x3 comparison (identical channels), 3x cheaper
+            img = to_gray(out.color)
+            gtg = to_gray(gt)
             l1v = l1_loss(img, gtg)
             sv = 1.0 - ssim(img, gtg)
             return (1.0 - lambda_dssim) * l1v + lambda_dssim * sv, l1v
@@ -228,7 +249,9 @@ def make_current_frame_step(bg: Optional[BackgroundSplats], raster_cfg, width, h
             loss = loss + o.lambda_exyz * exyz_v
             aux["exyz"] = exyz_v
         if o.lambda_gas_constraints > 0:
-            ratio = density_ratio_at(nn * params.scale_factor, state.alive, state.imass, params)
+            ratio = density_ratio_at(nn * params.scale_factor, state.alive,
+                                     state.imass, params,
+                                     grid=grid_nn, planes=planes_nn)
             gas_v = jnp.sum(jnp.where(state.alive, (ratio - 1.0) ** 2, 0.0)) / jnp.maximum(
                 state.alive.sum(), 1) / dp
             loss = loss + o.lambda_gas_constraints * gas_v

@@ -307,7 +307,7 @@ def splat_velocity_to_points(points, point_alive, state: ParticleState, params: 
         dense = jax.default_backend() == "tpu"
     if dense:
         return _splat_delta_dense(src, vel, points, state.alive, point_alive,
-                                  params)
+                                  params, None, None)
     nl = radius_query(src, points, params.h, k=params.knn_k, alive_x=state.alive,
                       alive_y=point_alive, table_size=params.table_size,
                       cell_capacity=params.cell_capacity)
@@ -328,7 +328,7 @@ def update_visual(visual: VisualState, state: ParticleState, params: PBFParams) 
 
 
 def visual_xyz_from_nn(visual_xyz, visual_alive, estimate_xyz_nn, state: ParticleState,
-                       params: PBFParams, dense=None):
+                       params: PBFParams, dense=None, grid=None, planes=None):
     """Differentiable advection of (detached) visual particles driven by the
     learnable hidden positions (get_visual_xyz_from_nn, gm_dynamics.py:1453-1500).
     estimate_xyz_nn is in WORLD units (the optimizer's down-scaled space).
@@ -345,7 +345,7 @@ def visual_xyz_from_nn(visual_xyz, visual_alive, estimate_xyz_nn, state: Particl
         dense = jax.default_backend() == "tpu"
     if dense:
         return vx + _splat_delta_dense(est, vel, vx, state.alive, visual_alive,
-                                       params)
+                                       params, grid, planes)
     nl = radius_query(jax.lax.stop_gradient(est), vx, params.h, k=params.knn_k,
                       alive_x=state.alive, alive_y=visual_alive,
                       table_size=params.table_size, cell_capacity=params.cell_capacity)
@@ -357,77 +357,106 @@ def visual_xyz_from_nn(visual_xyz, visual_alive, estimate_xyz_nn, state: Particl
     return vx + wv * params.secs / sum_p6[:, None]
 
 
+def _zero_cotangent(tree):
+    """Cotangents for a shared-geometry pytree arg: float0 for int/bool
+    leaves, concrete zeros for float leaves. Callers pass these trees wrapped
+    in stop_gradient, whose transpose drops the cotangent immediately — the
+    grid-build graph is never transposed (zeros are dead on arrival)."""
+    if tree is None:
+        return None
+    return jax.tree.map(
+        lambda x: np.zeros(x.shape, jax.dtypes.float0)
+        if jnp.issubdtype(x.dtype, jnp.integer) or x.dtype == jnp.bool_
+        else jnp.zeros_like(x), tree)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def _splat_delta_dense(src, vel, points, src_alive, point_alive,
-                       params: PBFParams):
+                       params: PBFParams, grid=None, planes=None):
     """delta (Nq, 3) = secs * (sum_j W_ij vel_j) / max(sum_j W_ij, eps) via
     the two-lattice dense-grid Pallas kernels, differentiable in ``src``
     (through W) and ``vel``. ``points`` is treated as detached (every caller
     stop-gradients it); dead / capacity-dropped queries return delta 0 and
     dropped sources contribute nothing (overflow is surfaced by
-    check_capacity_overflow on the pipelines' diagnostics)."""
+    check_capacity_overflow on the pipelines' diagnostics).
+
+    ``grid``/``planes`` optionally inject a PRE-BUILT source grid (must be
+    build_dense_grid(stop_gradient(src), h, src_alive, C, M) and its
+    sentinel planes, both stop-gradient-wrapped) — the phase-C fit step
+    shares one build between this advection and the gas-density loss, which
+    evaluate at the same positions."""
     delta, _ = _splat_delta_dense_fwd(src, vel, points, src_alive,
-                                      point_alive, params)
+                                      point_alive, params, grid, planes)
     return delta
 
 
 def _splat_delta_dense_fwd(src, vel, points, src_alive, point_alive,
-                           params: PBFParams):
+                           params: PBFParams, grid_in=None, planes_in=None):
     from fluidnexus_tpu.ops.neighbors import (bin_queries, build_dense_grid,
                                               point_gather, slot_gather)
     from fluidnexus_tpu.sim.pbf_pallas import _planes, splat_slots
 
     C, M = params.dense_max_cells, params.dense_cell_capacity
-    grid = build_dense_grid(jax.lax.stop_gradient(src), params.h, src_alive,
-                            C, M)
+    grid = grid_in if grid_in is not None else build_dense_grid(
+        jax.lax.stop_gradient(src), params.h, src_alive, C, M)
     qgrid, rnbr = bin_queries(grid, params.h,
                               jax.lax.stop_gradient(points), point_alive,
                               C, M)
-    planes = _planes(grid)
+    planes = planes_in if planes_in is not None else _planes(grid)
     qplanes = _planes(qgrid)
     vel_s = slot_gather(grid, vel)
     wv_s, ws_s = splat_slots(grid, qgrid, vel_s, float(params.h),
                              planes=planes, qplanes=qplanes)
     c6 = jnp.float32(params.poly6_term1)
     # c6 is applied OUTSIDE the kernel so the eps clamp matches the padded
-    # path's max(sum c6*w, eps) exactly
-    wv_pad = jnp.concatenate([wv_s * c6, jnp.zeros((1, M, 3), jnp.float32)], 0)
-    ws_pad = jnp.concatenate([ws_s * c6, jnp.zeros((1, M), jnp.float32)], 0)
-    wv = point_gather(qgrid, wv_pad)                       # (Nq, 3)
-    ws = point_gather(qgrid, ws_pad)                       # (Nq,)
+    # path's max(sum c6*w, eps) exactly. wv/ws leave slot space in ONE packed
+    # row gather (the gathers are latency-bound row DMAs — see pbf_pallas
+    # module docstring).
+    wvs_pad = jnp.concatenate([
+        jnp.concatenate([wv_s * c6, ws_s[..., None] * c6], -1),
+        jnp.zeros((1, M, 4), jnp.float32)], 0)
+    wvs = point_gather(qgrid, wvs_pad)                     # (Nq, 4)
+    wv, ws = wvs[:, :3], wvs[:, 3]
     S = jnp.maximum(ws, params.epsilon)
     delta = params.secs * wv / S[:, None]
-    return delta, (grid, qgrid, rnbr, planes, qplanes, vel_s, ws, delta)
+    # grid_in/planes_in ride the residuals as None-or-tree so the bwd's
+    # cotangent STRUCTURE (None vs zeros) is static pytree structure
+    return delta, (grid, qgrid, rnbr, planes, qplanes, vel_s, ws, delta,
+                   grid_in, planes_in)
 
 
 def _splat_delta_dense_bwd(params: PBFParams, res, g):
     from fluidnexus_tpu.ops.neighbors import point_gather, slot_gather
     from fluidnexus_tpu.sim.pbf_pallas import splat_bwd_slots
 
-    grid, qgrid, rnbr, planes, qplanes, vel_s, ws, delta = res
+    (grid, qgrid, rnbr, planes, qplanes, vel_s, ws, delta,
+     grid_in, planes_in) = res
     M = grid.capacity
     c6 = jnp.float32(params.poly6_term1)
     S = jnp.maximum(ws, params.epsilon)
     p = (c6 * params.secs) * g / S[:, None]                # (Nq, 3)
     q = jnp.where(ws < params.epsilon, 0.0,
                   c6 * jnp.sum(g * delta, -1) / S)         # (Nq,)
-    p_s = slot_gather(qgrid, p)                            # dead slots -> 0
-    q_s = slot_gather(qgrid, q)
+    pq_s = slot_gather(qgrid, jnp.concatenate([p, q[:, None]], -1))
+    p_s, q_s = pq_s[..., :3], pq_s[..., 3]                 # dead slots -> 0
     gx_s, gv_s = splat_bwd_slots(grid, qgrid, rnbr, vel_s, p_s, q_s,
                                  float(params.h), planes=planes,
                                  qplanes=qplanes)
-    zrow = jnp.zeros((1, M, 3), jnp.float32)
-    g_src = point_gather(grid, jnp.concatenate([gx_s, zrow], 0))
-    g_vel = point_gather(grid, jnp.concatenate([gv_s, zrow], 0))
+    zrow = jnp.zeros((1, M, 6), jnp.float32)
+    gsv = point_gather(grid, jnp.concatenate(
+        [jnp.concatenate([gx_s, gv_s], -1), zrow], 0))     # (N, 6)
+    g_src, g_vel = gsv[:, :3], gsv[:, 3:]
     return (g_src, g_vel, jnp.zeros_like(g),
             np.zeros(grid.prow.shape, jax.dtypes.float0),
-            np.zeros(ws.shape, jax.dtypes.float0))
+            np.zeros(ws.shape, jax.dtypes.float0),
+            _zero_cotangent(grid_in), _zero_cotangent(planes_in))
 
 
 _splat_delta_dense.defvjp(_splat_delta_dense_fwd, _splat_delta_dense_bwd)
 
 
-def density_ratio_at(positions, alive, imass, params: PBFParams, dense=None):
+def density_ratio_at(positions, alive, imass, params: PBFParams, dense=None,
+                     grid=None, planes=None):
     """rho/rho0 at given (scaled-space) positions — the gas-constraint loss
     (get_gas_constraints_from_exyz_nn, gm_dynamics.py:1269-1296).
 
@@ -442,7 +471,8 @@ def density_ratio_at(positions, alive, imass, params: PBFParams, dense=None):
     if dense is None:
         dense = jax.default_backend() == "tpu"
     if dense:
-        return _density_ratio_dense(positions, alive, imass, params)
+        return _density_ratio_dense(positions, alive, imass, params, grid,
+                                    planes)
     nl = radius_graph(jax.lax.stop_gradient(positions), params.h, k=params.knn_k, loop=True,
                       alive=alive, table_size=params.table_size,
                       cell_capacity=params.cell_capacity)
@@ -454,19 +484,22 @@ def density_ratio_at(positions, alive, imass, params: PBFParams, dense=None):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _density_ratio_dense(positions, alive, imass, params: PBFParams):
-    ratio, _ = _density_ratio_dense_fwd(positions, alive, imass, params)
+def _density_ratio_dense(positions, alive, imass, params: PBFParams,
+                         grid=None, planes=None):
+    ratio, _ = _density_ratio_dense_fwd(positions, alive, imass, params,
+                                        grid, planes)
     return ratio
 
 
-def _density_ratio_dense_fwd(positions, alive, imass, params: PBFParams):
+def _density_ratio_dense_fwd(positions, alive, imass, params: PBFParams,
+                             grid_in=None, planes_in=None):
     from fluidnexus_tpu.ops.neighbors import build_dense_grid, point_gather
     from fluidnexus_tpu.sim.pbf_pallas import _planes, density_slots_v2
 
     C, M = params.dense_max_cells, params.dense_cell_capacity
-    grid = build_dense_grid(jax.lax.stop_gradient(positions), params.h,
-                            alive, C, M)
-    planes = _planes(grid)
+    grid = grid_in if grid_in is not None else build_dense_grid(
+        jax.lax.stop_gradient(positions), params.h, alive, C, M)
+    planes = planes_in if planes_in is not None else _planes(grid)
     pi_s = density_slots_v2(grid, float(params.h), float(params.epsilon),
                             float(params.poly6_term1),
                             float(params.spiky_grad_term1), planes=planes)
@@ -476,14 +509,14 @@ def _density_ratio_dense_fwd(positions, alive, imass, params: PBFParams):
         [pi_s, jnp.full((1, M), w_self, jnp.float32)], 0)
     pi_n = point_gather(grid, pi_pad)
     ratio = pi_n / imass / params.p0
-    return ratio, (grid, planes, imass, pi_n)
+    return ratio, (grid, planes, imass, pi_n, grid_in, planes_in)
 
 
 def _density_ratio_dense_bwd(params: PBFParams, res, g):
     from fluidnexus_tpu.ops.neighbors import point_gather, slot_gather
     from fluidnexus_tpu.sim.pbf_pallas import density_bwd_slots_v2
 
-    grid, planes, imass, pi_n = res
+    grid, planes, imass, pi_n, grid_in, planes_in = res
     M = grid.capacity
     g_rho = g / (imass * params.p0)                # dL/d pi per particle
     g_s = slot_gather(grid, g_rho)                 # (C+1, M), dead slots 0
@@ -492,7 +525,8 @@ def _density_ratio_dense_bwd(params: PBFParams, res, g):
     ds_pad = jnp.concatenate([ds, jnp.zeros((1, M, 3), jnp.float32)], 0)
     dpos = point_gather(grid, ds_pad)              # dropped -> 0
     dimass = -pi_n / (imass * imass * params.p0) * g
-    return (dpos, np.zeros(g_rho.shape, jax.dtypes.float0), dimass)
+    return (dpos, np.zeros(g_rho.shape, jax.dtypes.float0), dimass,
+            _zero_cotangent(grid_in), _zero_cotangent(planes_in))
 
 
 _density_ratio_dense.defvjp(_density_ratio_dense_fwd, _density_ratio_dense_bwd)

@@ -66,10 +66,18 @@ def render_particles_with_background(
     )
 
 
+def to_gray(img):
+    """Channel-mean, kept single-channel. L1/SSIM between two ``to_gray3``
+    images equal the same losses on the 1-channel means (the repeated
+    channels are identical), at a third of the image-loss cost — the fit
+    steps compare in this space."""
+    return img.mean(axis=0, keepdims=True)
+
+
 def to_gray3(img):
     """Channel-mean then repeat x3 — the smoke losses compare gray images
     (train_physical_particle.py:127-133)."""
-    g = img.mean(axis=0, keepdims=True)
+    g = to_gray(img)
     return jnp.concatenate([g, g, g], axis=0)
 
 

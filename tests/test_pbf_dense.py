@@ -395,3 +395,54 @@ def test_splat_velocity_to_points_dense_matches_padded():
                                     dense=True)
     np.testing.assert_allclose(np.asarray(d_dn), np.asarray(d_pad),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_shared_grid_matches_internal_build():
+    """density_ratio_at and visual_xyz_from_nn accept a pre-built
+    (stop-gradient-wrapped) source grid + planes — the phase-C fit step
+    shares ONE build between the gas loss and the splat advection
+    (train_physical_particle.make_current_frame_step). Values and gradients
+    must be bit-identical to the internal per-call build, and the shared
+    trees must receive no live cotangent (their build graph is behind
+    stop_gradient)."""
+    import jax
+
+    from fluidnexus_tpu.ops.neighbors import build_dense_grid
+    from fluidnexus_tpu.sim.pbf import density_ratio_at, visual_xyz_from_nn
+    from fluidnexus_tpu.sim.pbf_pallas import _planes
+    from fluidnexus_tpu.sim.state import make_particle_state
+
+    rng = np.random.default_rng(11)
+    n = 256
+    pos = rng.uniform(0.0, 6.0, (n, 3)).astype(np.float32)
+    alive = np.ones(n, bool)
+    alive[200:] = False
+    params = PBFParams(h=1.0, knn_k=128, cell_capacity=64,
+                       dense_max_cells=512, dense_cell_capacity=32,
+                       scale_factor=1.0)
+    state = make_particle_state(n, jnp.asarray(pos[:200]))
+    nn0 = state.estimate_xyz / params.scale_factor
+    vx = jnp.asarray(rng.uniform(0.0, 6.0, (n, 3)).astype(np.float32))
+    va = jnp.asarray(alive)
+    w = jnp.asarray((rng.normal(size=n) * alive).astype(np.float32))
+
+    def loss(nnq, shared):
+        grid = planes = None
+        if shared:
+            sg = jax.lax.stop_gradient
+            p = sg(nnq) * params.scale_factor
+            grid = jax.tree.map(sg, build_dense_grid(
+                p, params.h, state.alive, params.dense_max_cells,
+                params.dense_cell_capacity))
+            planes = jax.tree.map(sg, _planes(grid))
+        adv = visual_xyz_from_nn(vx, va, nnq, state, params, dense=True,
+                                 grid=grid, planes=planes)
+        r = density_ratio_at(nnq * params.scale_factor, state.alive,
+                             state.imass, params, dense=True,
+                             grid=grid, planes=planes)
+        return jnp.sum(adv * w[:, None]) + jnp.sum(w * (r - 1.0) ** 2)
+
+    l0, g0 = jax.value_and_grad(loss)(nn0, False)
+    l1, g1 = jax.value_and_grad(loss)(nn0, True)
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
