@@ -257,12 +257,23 @@ def _compact_bins(x, r, alive, origin, max_cells, capacity, self_join):
     posg = jnp.minimum(starts0[:, None] + jnp.arange(M, dtype=jnp.int32)[None, :],
                        n - 1)
     slotv = jnp.arange(M, dtype=jnp.int32)[None, :] < jnp.minimum(npts, M)[:, None]
-    bidx = jnp.where(slotv, order[posg], -1)
     ux = ucid & 1023
     uy = (ucid >> 10) & 1023
     uz = ucid >> 20
     corner = (jnp.stack([ux, uy, uz], -1) + origin[None, :]).astype(x.dtype) * r
-    bxyz = (xs[posg] - corner[:, None, :]) * slotv[..., None]
+    if x.dtype == jnp.float32 and n < (1 << 24):
+        # ONE packed row gather for [coords | point index-as-f32]: the two
+        # separate (C, M) gathers over the same posg rows are latency-bound
+        # row DMAs (~0.9 ms each at C*M=131k on-chip). The index rides as an
+        # exact f32 VALUE (n < 2^24) — a BITCAST of small ints makes
+        # denormals, which the TPU flushes (device-verified corruption)
+        pk = jnp.concatenate(
+            [xs, order.astype(jnp.float32)[:, None]], -1)[posg]  # (C, M, 4)
+        bidx = jnp.where(slotv, pk[..., 3].astype(jnp.int32), -1)
+        bxyz = (pk[..., :3] - corner[:, None, :]) * slotv[..., None]
+    else:
+        bidx = jnp.where(slotv, order[posg], -1)
+        bxyz = (xs[posg] - corner[:, None, :]) * slotv[..., None]
     bidx = jnp.concatenate([bidx, jnp.full((1, M), -1, jnp.int32)], 0)
     bxyz = jnp.concatenate([bxyz, jnp.zeros((1, M, 3), x.dtype)], 0)
     bmask = jnp.concatenate([slotv, jnp.zeros((1, M), bool)], 0)
@@ -279,8 +290,10 @@ def _compact_bins(x, r, alive, origin, max_cells, capacity, self_join):
     keep = live & (rank < M) & (crank_raw < C)
     prow_s = jnp.where(keep, crank, C)
     pcol_s = jnp.where(keep, jnp.minimum(rank, M - 1), 0)
-    prow = jnp.zeros((n,), jnp.int32).at[order].set(prow_s, unique_indices=True)
-    pcol = jnp.zeros((n,), jnp.int32).at[order].set(pcol_s, unique_indices=True)
+    # one packed row scatter for [prow | pcol]
+    prc = jnp.zeros((n, 2), jnp.int32).at[order].set(
+        jnp.stack([prow_s, pcol_s], -1), unique_indices=True)
+    prow, pcol = prc[:, 0], prc[:, 1]
     return DenseGrid(bidx=bidx, bxyz=bxyz, bmask=bmask, nbr=nbr,
                      prow=prow, pcol=pcol, overflow=overflow,
                      origin=origin, ucid=ucid)

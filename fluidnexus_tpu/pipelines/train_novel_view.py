@@ -88,6 +88,131 @@ class ViewPairDataset:
         return np.stack(tgt), np.stack(cond), np.stack(dt)
 
 
+class ViewPairWebDataset:
+    """Tar-shard streaming variant of :class:`ViewPairDataset` — parity with
+    the reference's webdataset-wrapped finetune loader
+    (Zero123/ldm/data/fluid_nexus.py:79-82). Each tar SAMPLE is one frame:
+    members ``<frame_key>.<cam:02d>.png`` (all captured views of that frame);
+    poses come from ``<root>/camera/<cam:02d>.npy`` exactly like the folder
+    loader. Shards are rank-dealt, samples reservoir-shuffled RAW (decode on
+    pop — the same shuffle-before-decode order as WebVideoDataset), and the
+    stream restarts per epoch. Fails loudly if a full pass yields nothing."""
+
+    def __init__(self, root: str, image_size: int = 256, cond_view: int = -1,
+                 target_view: int = -1, seed: int = 1,
+                 shuffle_buffer: int = 256, rank: int = 0, world: int = 1):
+        import glob as _glob
+
+        self.root = root
+        self.image_size = image_size
+        shards = sorted(_glob.glob(os.path.join(root, "**", "*.tar"),
+                                   recursive=True)) if os.path.isdir(root) \
+            else sorted(_glob.glob(root))
+        assert shards, f"no .tar shards under {root}"
+        rng = np.random.default_rng(seed)
+        self.shards = list(rng.permutation(shards))[rank::world]
+        cam_dir = os.path.join(os.path.dirname(self.shards[0]) if not
+                               os.path.isdir(root) else root, "camera")
+        self.cams = {int(f[:2]): np.load(os.path.join(cam_dir, f))
+                     for f in os.listdir(cam_dir) if f.endswith(".npy")}
+        self.fixed_pair = None
+        if cond_view in self.cams and target_view in self.cams:
+            self.fixed_pair = (target_view, cond_view)
+        self.shuffle_buffer = shuffle_buffer
+        self.seed = seed
+        self._stream = None
+
+    def _iter_samples(self):
+        import tarfile
+
+        for shard in self.shards:
+            with tarfile.open(shard) as tf:
+                cur_key, cur = None, {}
+                for m in tf:
+                    if not m.isfile():
+                        continue
+                    base = os.path.basename(m.name)
+                    key, _, suffix = base.partition(".")
+                    if cur_key is not None and key != cur_key and cur:
+                        yield cur
+                        cur = {}
+                    cur_key = key
+                    cur[suffix.lower()] = tf.extractfile(m).read()
+                if cur:
+                    yield cur
+
+    def _decode(self, raw: dict, rng: np.random.Generator):
+        import io
+
+        from PIL import Image
+
+        avail = sorted(c for c in self.cams if f"{c:02d}.png" in raw)
+        if self.fixed_pair is not None:
+            a, b = self.fixed_pair
+            if a not in avail or b not in avail:
+                return None
+        elif len(avail) >= 2:
+            a, b = rng.choice(avail, 2, replace=False)
+        else:
+            return None
+
+        def img(cam):
+            im = Image.open(io.BytesIO(raw[f"{cam:02d}.png"])).convert("RGB")
+            im = im.resize((self.image_size,) * 2, Image.LANCZOS)
+            return np.asarray(im, np.float32) / 255.0
+
+        return img(a), img(b), get_pose_delta(self.cams[a], self.cams[b])
+
+    def __iter__(self):
+        rng = np.random.default_rng(self.seed)
+        buf = []
+        for raw in self._iter_samples():
+            buf.append(raw)
+            if len(buf) >= self.shuffle_buffer:
+                item = self._decode(buf.pop(int(rng.integers(len(buf)))), rng)
+                if item is not None:
+                    yield item
+        rng.shuffle(buf)
+        for raw in buf:
+            item = self._decode(raw, rng)
+            if item is not None:
+                yield item
+
+    def sample_batch(self, batch: int, rng: np.random.Generator):
+        tgt, cond, dt = [], [], []
+        retried = False
+        while len(tgt) < batch:
+            if self._stream is None:
+                self._stream = iter(self)
+            item = next(self._stream, None)
+            if item is None:
+                if retried and not tgt:
+                    raise RuntimeError(
+                        f"no usable frame samples in shards under {self.root}"
+                        " (need >=2 views per sample matching camera/*.npy)")
+                self._stream, retried = None, True
+                continue
+            retried = False
+            tgt.append(item[0])
+            cond.append(item[1])
+            dt.append(item[2])
+        return np.stack(tgt), np.stack(cond), np.stack(dt)
+
+
+def make_pair_dataset(root: str, image_size: int = 256, cond_view: int = -1,
+                      target_view: int = -1, seed: int = 1):
+    """Folder layout -> ViewPairDataset; .tar shards -> ViewPairWebDataset
+    (mirrors data.video_dataset.make_video_dataset's auto-pick)."""
+    import glob as _glob
+
+    if (not os.path.isdir(root)) or _glob.glob(os.path.join(root, "**", "*.tar"),
+                                               recursive=True):
+        return ViewPairWebDataset(root, image_size, cond_view=cond_view,
+                                  target_view=target_view, seed=seed)
+    return ViewPairDataset(root, image_size, cond_view=cond_view,
+                           target_view=target_view)
+
+
 def train(args, log=print):
     import math
 
@@ -137,8 +262,9 @@ def train(args, log=print):
     ema_params = ({k: jax.tree.map(jnp.copy, params[k]) for k in _EMA_KEYS}
                   if ema_decay > 0 else None)
 
-    ds = ViewPairDataset(args.data_dir, args.image_size,
-                         cond_view=args.cond_view, target_view=args.target_view)
+    ds = make_pair_dataset(args.data_dir, args.image_size,
+                           cond_view=args.cond_view, target_view=args.target_view,
+                           seed=args.seed)
     rng_np = np.random.default_rng(args.seed)
     data_sh = NamedSharding(mesh, P("data"))
 

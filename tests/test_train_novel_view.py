@@ -177,3 +177,62 @@ def test_view_pair_dataset_fixed_cond_view(tmp_path):
     assert ds2.fixed_pair is None
     t2, c2, _ = ds2.sample_batch(8, rng)
     assert not np.allclose(t2, c2)
+
+
+@pytest.mark.slow
+def test_view_pair_webdataset_matches_folder(tmp_path):
+    """ViewPairWebDataset streams tar shards whose samples are whole frames
+    (members <key>.<cam:02d>.png) and must produce the same images and pose
+    deltas as ViewPairDataset on the equivalent folder layout (parity:
+    ldm/data/fluid_nexus.py:79-82 wraps the pair dataset in webdataset).
+    make_pair_dataset auto-picks by layout."""
+    import io
+    import tarfile
+
+    import numpy as np
+    from PIL import Image
+
+    from fluidnexus_tpu.pipelines.train_novel_view import (
+        ViewPairDataset, ViewPairWebDataset, make_pair_dataset)
+
+    rng = np.random.default_rng(0)
+    os.makedirs(tmp_path / "camera")
+    for c in range(3):
+        w2c = np.eye(4)[:3].copy()
+        w2c[:, 3] = [0.2 * c, 0, 2 + c]
+        np.save(tmp_path / "camera" / f"{c:02d}.npy", w2c)
+    imgs = {}
+    for f in range(3):
+        os.makedirs(tmp_path / f"frame_{f:03d}")
+        for c in range(3):
+            img = np.full((8, 8, 3), 20 * (3 * f + c), np.uint8)
+            imgs[(f, c)] = img
+            Image.fromarray(img).save(tmp_path / f"frame_{f:03d}" / f"{c:02d}.png")
+
+    shard_dir = tmp_path / "shards"
+    os.makedirs(shard_dir / "camera")
+    for c in range(3):
+        np.save(shard_dir / "camera" / f"{c:02d}.npy",
+                np.load(tmp_path / "camera" / f"{c:02d}.npy"))
+    with tarfile.open(shard_dir / "000000.tar", "w") as tf:
+        for f in range(3):
+            for c in range(3):
+                buf = io.BytesIO()
+                Image.fromarray(imgs[(f, c)]).save(buf, format="png")
+                data = buf.getvalue()
+                info = tarfile.TarInfo(f"frame_{f:03d}.{c:02d}.png")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+
+    ds_f = ViewPairDataset(str(tmp_path), image_size=8, cond_view=0, target_view=2)
+    ds_w = make_pair_dataset(str(shard_dir), image_size=8, cond_view=0, target_view=2)
+    assert isinstance(ds_w, ViewPairWebDataset)
+    tf_, cf, df = ds_f.sample_batch(3, np.random.default_rng(1))
+    tw, cw, dw = ds_w.sample_batch(3, np.random.default_rng(1))
+    # fixed pair: every sample is (cam2 target, cam0 cond) with the same delta
+    np.testing.assert_array_equal(df, dw)
+    assert set(np.unique(np.round(tw * 255)).astype(int)) <= {40, 100, 160}  # cam 2
+    assert set(np.unique(np.round(cw * 255)).astype(int)) <= {0, 60, 120}     # cam 0
+    # epoch restart: pulling more than one epoch's worth keeps producing
+    t3, _, _ = ds_w.sample_batch(8, np.random.default_rng(2))
+    assert t3.shape == (8, 8, 8, 3)
