@@ -376,15 +376,19 @@ def _project_iterations_v3(state: ParticleState, params: PBFParams,
             grid, h, eps, c6, s45, float(params.k_p), float(params.e_p),
             inv_denom, inv_p0,
             xG3[0], xG3[1], xG3[2], lamG, ncG, (cnt,) + planes + (lam_pad,))
-        # phase2 v3 emits UPDATED coordinates (x + delta applied in-kernel);
-        # take them as the new planes and recover the delta by subtraction.
-        xG3_new = tuple(jnp.where(mG, nx, x)
-                        for nx, x in zip((dxG, dyG, dzG), xG3))
+        # phase2 v3 emits UPDATED coordinates (x + delta applied in-kernel).
+        # No mG select needed: dead rows inside processed strips get a zero
+        # delta (per-slot-unique sentinels pair out of radius, the self
+        # diagonal cg is zeroed), and rows the strip loop never touches
+        # (cnt=0 padding cells, rows past ceil(cnt/S)*S) pass through via the
+        # kernel's copy-init — so sentinel coordinates persist either way
+        # (pinned by test_iterations_matches_per_iteration_rebuild).
+        xG3_new = (dxG, dyG, dzG)
         dG3 = tuple(nx - x for nx, x in zip(xG3_new, xG3))
         xG3 = xG3_new
         p_ratioG = piG / imG * inv_p0
-        fdG3 = tuple(jnp.where(mG, v * (1.0 - p_ratioG) * -params.k, 0.0)
-                     for v in velG)
+        # velG is zero-masked at build, so dead rows contribute no force
+        fdG3 = tuple(v * (1.0 - p_ratioG) * -params.k for v in velG)
         fG3 = tuple(f + fd for f, fd in zip(fG3, fdG3))
         dmean = (jnp.sum(dG3[0]) + jnp.sum(dG3[1])
                  + jnp.sum(dG3[2])) / 3.0 / n_alive
