@@ -94,7 +94,7 @@ def main():
     # long (30 queued steps) to keep the dispatch pipeline saturated
     iters = 30
     fps = 0.0
-    for _ in range(2):
+    for _ in range(3):   # best-of-3: the shared TPU pool is noisy run-to-run
         t0 = time.perf_counter()
         for _ in range(iters):
             g = step(means, cols, ops, scales, rots)
@@ -119,7 +119,7 @@ def main():
     p, s = train_step(params, opt_state)
     jax.block_until_ready(p)
     ips = 0.0
-    for _ in range(2):
+    for _ in range(3):   # best-of-3: the shared TPU pool is noisy run-to-run
         p, s = params, opt_state
         t0 = time.perf_counter()
         for _ in range(iters):
@@ -149,7 +149,7 @@ def main():
     float(chk)
     t_iters = 10
     tps = 0.0
-    for _ in range(2):
+    for _ in range(3):   # best-of-3: the shared TPU pool is noisy run-to-run
         s0 = pstate
         t0 = time.perf_counter()
         for _ in range(t_iters):
@@ -204,7 +204,7 @@ def main():
     jax.block_until_ready(nn)
     cps = 0.0
     r_iters = 10
-    for _ in range(2):
+    for _ in range(3):   # best-of-3: the shared TPU pool is noisy run-to-run
         nn, optC = nn0.copy(), adam_init({"nn": nn0})
         t0 = time.perf_counter()
         for _ in range(r_iters):
