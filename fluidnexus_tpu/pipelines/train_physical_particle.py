@@ -328,7 +328,9 @@ def _select_batch(rng, n_cams: int, batch: int, dp: int):
     if pad:
         sel = np.concatenate([sel, np.repeat(sel[:1], pad)])
     w = np.concatenate([np.ones(b, np.float32), np.zeros(pad, np.float32)])
-    return sel, jnp.asarray(w), jnp.float32(1.0 / b)
+    # host arrays: they ride along as args of the single jitted fit-iteration
+    # dispatch instead of being transferred by their own tiny executables
+    return sel, w, np.float32(1.0 / b)
 
 
 def _gts(cams: List[Camera], channels: int):
@@ -400,6 +402,16 @@ def train(cfg: Config, scene_info=None, writer=None, log=print, resume_from_fram
     gts0 = _gts(train_by_t[0], channels)
     extent = scene_info.nerf_normalization["radius"]
 
+    # ONE dispatch per fit iteration: the camera-batch gathers run inside the
+    # same jitted call as the step. Host-driven `gts[sel]` / `views[sel]`
+    # indexing dispatches 4+ extra tiny executables per iteration — measured
+    # ~200 s/frame at the full-scale workload (~6x the step itself) through
+    # the remote-relay dispatch path.
+    @functools.partial(jax.jit, donate_argnums=(0, 3))
+    def fitA(vxyz, alive, attrs, optA, sel, lr, w, inv_w):
+        cams_b = (cviews[sel], cprojs[sel], cfovs[sel])
+        return stepA(vxyz, alive, attrs, optA, cams_b, gts0[sel], lr, w, inv_w)
+
     vxyz = visual.xyz
     t0 = time.time()
     for it in range(1, o.iterations_per_time_first + 1):
@@ -407,9 +419,8 @@ def train(cfg: Config, scene_info=None, writer=None, log=print, resume_from_fram
                       o.position_lr_final * extent,
                       lr_delay_mult=o.position_lr_delay_mult, max_steps=o.position_lr_max_steps)
         sel, w, inv_w = _select_batch(rng, len(train_by_t[0]), o.batch, cfg.pipe.dp)
-        cams_b = (cviews[sel], cprojs[sel], cfovs[sel])
-        vxyz, optA, loss, l1v = stepA(vxyz, visual.alive, attrs, optA, cams_b, gts0[sel],
-                                      jnp.asarray(lr, jnp.float32), w, inv_w)
+        vxyz, optA, loss, l1v = fitA(vxyz, visual.alive, attrs, optA, sel,
+                                     np.float32(lr), w, inv_w)
         if writer and it % 50 == 0:
             writer.add_scalar("train_loss_frame_000/total", float(loss), it)
     visual = visual._replace(xyz=vxyz)
@@ -455,6 +466,19 @@ def _phase_c(cfg, scene_info, state, visual, attrs, bg, raster_cfg, params,
     mesh = _recon_mesh(cfg)
     stepC = make_current_frame_step(bg, raster_cfg, width, height, params, o, channels,
                                     mesh=mesh)
+
+    # ONE dispatch per fit iteration: the camera-batch gathers run inside the
+    # same jitted call as the step. Host-driven `gts[sel]` / `views[sel]`
+    # indexing dispatches 4+ extra tiny executables per iteration — measured
+    # ~200 s/frame (~6x the step itself) at the full-scale workload through
+    # the remote-relay dispatch path. Compiled once; retraces only when the
+    # camera count changes (sparse_views).
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def fitC(exyz_nn, optC, state, visual, attrs, cviews, cprojs, cfovs, gts,
+             sel, lr, w, inv_w):
+        cams_b = (cviews[sel], cprojs[sel], cfovs[sel])
+        return stepC(exyz_nn, optC, state, visual, attrs, cams_b, gts[sel],
+                     lr, w, inv_w)
     metrics_per_frame = []
     # static emission capacities so the jitted emit path compiles once
     hid_cap = max(int(np.ceil(o.emit_ratio_hidden)) * max(len(emitters.hidden), 1), 1)
@@ -506,10 +530,9 @@ def _phase_c(cfg, scene_info, state, visual, attrs, bg, raster_cfg, params,
                           lr_delay_mult=o.position_lr_delay_mult,
                           max_steps=o.position_lr_max_steps)
             sel, w, inv_w = _select_batch(rng, len(cur_cams), o.batch, cfg.pipe.dp)
-            cams_b = (cviews[sel], cprojs[sel], cfovs[sel])
-            exyz_nn, optC, loss, aux = stepC(exyz_nn, optC, state, visual, attrs,
-                                             cams_b, gts[sel], jnp.asarray(lr, jnp.float32),
-                                             w, inv_w)
+            exyz_nn, optC, loss, aux = fitC(exyz_nn, optC, state, visual, attrs,
+                                            cviews, cprojs, cfovs, gts, sel,
+                                            np.float32(lr), w, inv_w)
         if writer:
             writer.add_scalar(f"train_loss_frame_{t:03d}/total", float(loss), t)
 
